@@ -99,7 +99,7 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
         x, w, window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_CONV_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     return y + p["b"].astype(x.dtype)
 
@@ -136,7 +136,7 @@ def equal_conv_transpose2d(p: Params, x: jnp.ndarray, stride: int = 1,
         x, w.astype(x.dtype), window_strides=(1, 1), padding=pad,
         lhs_dilation=(stride, stride),
         dimension_numbers=_CONV_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     return y + p["b"].astype(x.dtype)
 
@@ -150,7 +150,8 @@ def latent_to_4x4(p: Params, z: jnp.ndarray) -> jnp.ndarray:
     scale = math.sqrt(2.0 / (out_ch * kh * kw))
     w = (p["w"] * scale).astype(z.dtype).reshape(kh * kw * out_ch, in_ch)
     y = jax.lax.dot_general(
-        z, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        z, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.promote_types(z.dtype, jnp.float32),
     ).astype(z.dtype)
     y = y.reshape(z.shape[0], kh, kw, out_ch)
     return y + p["b"].astype(z.dtype)
@@ -170,7 +171,7 @@ def equal_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = (p["w"] * scale).astype(x.dtype)
     y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     return y + p["b"].astype(x.dtype)
 

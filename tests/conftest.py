@@ -13,11 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# x64 available for float64 oracle-parity tests; f32 arrays stay f32.
+jax.config.update("jax_enable_x64", True)
 # Keep f32 convs/matmuls at full precision in numerics tests.
 jax.config.update("jax_default_matmul_precision", "highest")
 
