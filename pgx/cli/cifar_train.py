@@ -1,0 +1,42 @@
+"""CIFAR-10 legacy 8->32 progressive WGAN-GP training (mirrors
+cifar_train.py: z=128, ch=128, bs=4, 300k iters, max_step=3)."""
+
+from __future__ import annotations
+
+import argparse
+
+from pgx.cli.common import add_common_args, get_dataset
+from pgx.models import zoo
+from pgx.train import LegacySchedule, TrainConfig
+from pgx.train.loop import LoopConfig, train_loop
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p, defaults=dict(trial_name="cifar", z_dim=128,
+                                     channels=128, total_iter=300000,
+                                     max_step=3))
+    args = p.parse_args(argv)
+
+    gcfg = zoo.legacy_generator(z_dim=args.z_dim, channel=args.channels,
+                                pixel_norm=args.pixel_norm, tanh=args.tanh,
+                                max_step=args.max_step, dtype=args.dtype)
+    dcfg = zoo.legacy_discriminator(feat_dim=args.channels,
+                                    max_step=args.max_step, dtype=args.dtype)
+    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic)
+    schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
+    dataset = get_dataset(args, "cifar10")
+
+    loop_cfg = LoopConfig(
+        trial_name=args.trial_name, main_path=args.main_path,
+        batch_size=args.batch_size, sample_every=args.sample_every,
+        checkpoint_every=args.checkpoint_every, log_every=args.log_every,
+        seed=args.seed, use_mesh=args.use_mesh)
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
+                           resume_dir=args.resume)
+    print(f"done: {trial_dir}")
+    return trial_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Shared CLI plumbing for the training entry points."""
+
+from __future__ import annotations
+
+import argparse
+
+from pgx.data import load_cifar10, load_mnist, synthetic_dataset
+
+
+def add_common_args(p: argparse.ArgumentParser,
+                    defaults: dict) -> argparse.ArgumentParser:
+    p.add_argument("--path", type=str, default=None,
+                   help="dataset root (local files; no download)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a synthetic dataset (no local data needed)")
+    p.add_argument("--trial-name", type=str,
+                   default=defaults.get("trial_name", "trial"))
+    p.add_argument("--output", "--main-path", dest="main_path", type=str,
+                   default=".")
+    p.add_argument("--resume", type=str, default=None,
+                   help="trial dir to resume from")
+    p.add_argument("--lr", type=float, default=defaults.get("lr", 1e-3))
+    p.add_argument("--z-dim", type=int, default=defaults.get("z_dim", 128))
+    p.add_argument("--channels", "--channel", dest="channels", type=int,
+                   default=defaults.get("channels", 128))
+    p.add_argument("--batch-size", type=int,
+                   default=defaults.get("batch_size", 4))
+    p.add_argument("--n-critic", type=int, default=1)
+    p.add_argument("--init-step", type=int,
+                   default=defaults.get("init_step", 1))
+    p.add_argument("--max-step", type=int,
+                   default=defaults.get("max_step", 3))
+    p.add_argument("--total-iter", type=int,
+                   default=defaults.get("total_iter", 90000))
+    p.add_argument("--pixel-norm", dest="pixel_norm", action="store_true",
+                   default=defaults.get("pixel_norm", True))
+    p.add_argument("--no-pixel-norm", dest="pixel_norm", action="store_false")
+    p.add_argument("--tanh", dest="tanh", action="store_true",
+                   default=defaults.get("tanh", True))
+    p.add_argument("--no-tanh", dest="tanh", action="store_false")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample-every", type=int,
+                   default=defaults.get("sample_every", 1000))
+    p.add_argument("--checkpoint-every", type=int,
+                   default=defaults.get("checkpoint_every", 10000))
+    p.add_argument("--log-every", type=int,
+                   default=defaults.get("log_every", 500))
+    p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
+                   default=True)
+    return p
+
+
+def get_dataset(args, kind: str, num_classes: int = 0):
+    if args.synthetic or args.path is None:
+        channels = 1 if kind == "mnist" else 3
+        return synthetic_dataset(n=max(4 * args.batch_size, 256), size=32,
+                                 channels=channels,
+                                 num_classes=num_classes, seed=args.seed)
+    if kind == "mnist":
+        return load_mnist(args.path)
+    if kind == "cifar10":
+        return load_cifar10(args.path)
+    raise ValueError(kind)

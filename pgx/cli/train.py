@@ -1,0 +1,57 @@
+"""CelebA-style legacy progressive WGAN-GP training (mirrors train.py).
+
+Reference CLI (train.py:207-232): ImageFolder data with
+Resize(1.2x) + RandomCrop + HFlip, legacy Generator/Discriminator,
+iteration-split schedule clamped at max_step.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pgx.cli.common import add_common_args
+from pgx.data import ImageFolderDataset, synthetic_dataset
+from pgx.data.pipeline import array_batches, folder_batches
+from pgx.models import zoo
+from pgx.train import LegacySchedule, TrainConfig
+from pgx.train.loop import LoopConfig, train_loop
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p, defaults=dict(trial_name="celeba", z_dim=128,
+                                     channels=128, total_iter=300000,
+                                     max_step=3))
+    args = p.parse_args(argv)
+
+    gcfg = zoo.legacy_generator(z_dim=args.z_dim, channel=args.channels,
+                                pixel_norm=args.pixel_norm, tanh=args.tanh,
+                                max_step=args.max_step, dtype=args.dtype)
+    dcfg = zoo.legacy_discriminator(feat_dim=args.channels,
+                                    max_step=args.max_step, dtype=args.dtype)
+    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic)
+    schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
+
+    if args.synthetic or args.path is None:
+        dataset = synthetic_dataset(n=max(4 * args.batch_size, 256), size=64,
+                                    channels=3, seed=args.seed)
+        batch_fn = array_batches
+    else:
+        dataset = ImageFolderDataset(args.path, resize_factor=1.2,
+                                     random_crop=True, hflip=True,
+                                     seed=args.seed)
+        batch_fn = folder_batches
+
+    loop_cfg = LoopConfig(
+        trial_name=args.trial_name, main_path=args.main_path,
+        batch_size=args.batch_size, sample_every=args.sample_every,
+        checkpoint_every=args.checkpoint_every, log_every=args.log_every,
+        seed=args.seed, use_mesh=args.use_mesh)
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
+                           resume_dir=args.resume, batch_fn=batch_fn)
+    print(f"done: {trial_dir}")
+    return trial_dir
+
+
+if __name__ == "__main__":
+    main()

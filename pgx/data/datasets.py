@@ -1,0 +1,200 @@
+"""Host-side datasets (SURVEY.md section 2.3 matrix + section 2.7 data prep).
+
+The container has no network egress and no torchvision, so every dataset
+loader reads local files when present and the test/bench path uses
+``synthetic_dataset``.  All datasets expose uint8 images (N, H, W, C) plus
+optional int labels, and per-resolution caching so each growth stage samples
+from a pre-resized array (the reference rebuilds a torch DataLoader with a
+Resize transform per stage, train.py:53,110-111; here the resize happens
+once per stage instead of per epoch).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear host resize via PIL (torchvision Resize uses PIL bilinear)."""
+    if images.shape[1] == size and images.shape[2] == size:
+        return images
+    from PIL import Image
+    n, _, _, c = images.shape
+    out = np.empty((n, size, size, c), np.uint8)
+    for i in range(n):
+        arr = images[i, :, :, 0] if c == 1 else images[i]
+        im = Image.fromarray(arr).resize((size, size), Image.BILINEAR)
+        res = np.asarray(im, np.uint8)
+        out[i] = res[:, :, None] if c == 1 else res
+    return out
+
+
+class ArrayDataset:
+    """In-memory dataset with per-resolution uint8 caches."""
+
+    def __init__(self, images: np.ndarray, labels: Optional[np.ndarray] = None,
+                 num_classes: int = 0):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = labels
+        self.num_classes = num_classes
+        self._cache: Dict[int, np.ndarray] = {images.shape[1]: images} \
+            if images.shape[1] == images.shape[2] else {}
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def at_resolution(self, size: int) -> np.ndarray:
+        if size not in self._cache:
+            self._cache[size] = _resize_batch(self.images, size)
+        return self._cache[size]
+
+
+def synthetic_dataset(n: int = 512, size: int = 32, channels: int = 3,
+                      num_classes: int = 0, seed: int = 0) -> ArrayDataset:
+    """Deterministic structured noise (blobs), for tests and benchmarks."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    imgs = np.empty((n, size, size, channels), np.uint8)
+    for i in range(n):
+        cx, cy, s = rng.rand(3)
+        base = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (0.05 + 0.2 * s)))
+        img = base[:, :, None] * rng.rand(1, 1, channels)
+        img += 0.1 * rng.rand(size, size, channels)
+        imgs[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
+    labels = rng.randint(0, num_classes, n) if num_classes else None
+    return ArrayDataset(imgs, labels, num_classes)
+
+
+# ---------------------------------------------------------------------------
+# MNIST / CIFAR-10 from local files (no egress)
+# ---------------------------------------------------------------------------
+
+def load_mnist(root: str, train: bool = True) -> ArrayDataset:
+    """Read raw idx files (train-images-idx3-ubyte[.gz] layout)."""
+    prefix = "train" if train else "t10k"
+    def _open(name):
+        for cand in (name, name + ".gz"):
+            p = os.path.join(root, cand)
+            if os.path.exists(p):
+                return gzip.open(p, "rb") if cand.endswith(".gz") else open(p, "rb")
+        raise FileNotFoundError(os.path.join(root, name))
+    with _open(f"{prefix}-images-idx3-ubyte") as f:
+        magic, n, h, w = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051
+        images = np.frombuffer(f.read(n * h * w), np.uint8).reshape(n, h, w, 1)
+    with _open(f"{prefix}-labels-idx1-ubyte") as f:
+        magic, n2 = struct.unpack(">II", f.read(8))
+        assert magic == 2049 and n2 == n
+        labels = np.frombuffer(f.read(n), np.uint8).astype(np.int64)
+    return ArrayDataset(np.ascontiguousarray(images), labels, num_classes=10)
+
+
+def load_cifar10(root: str, train: bool = True) -> ArrayDataset:
+    """Read the python-pickle batches (cifar-10-batches-py)."""
+    base = os.path.join(root, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = root
+    names = ([f"data_batch_{i}" for i in range(1, 6)] if train
+             else ["test_batch"])
+    xs, ys = [], []
+    for name in names:
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(d[b"data"])
+        ys.extend(d[b"labels"])
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return ArrayDataset(np.ascontiguousarray(x), np.asarray(ys, np.int64),
+                        num_classes=10)
+
+
+# ---------------------------------------------------------------------------
+# Image folders (CelebA-style) and WikiArt metadata CSV
+# ---------------------------------------------------------------------------
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+class ImageFolderDataset:
+    """Lazy folder dataset: class subdirectories (datasets.ImageFolder
+    semantics, train.py:40) or a flat directory of images."""
+
+    def __init__(self, root: str, resize_factor: float = 1.0,
+                 random_crop: bool = False, hflip: bool = False,
+                 seed: int = 0):
+        self.root = root
+        self.resize_factor = resize_factor
+        self.random_crop = random_crop
+        self.hflip = hflip
+        self.rng = np.random.RandomState(seed)
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        self.paths, labels = [], []
+        if classes:
+            for ci, cls in enumerate(classes):
+                for n in sorted(os.listdir(os.path.join(root, cls))):
+                    if n.lower().endswith(_IMG_EXTS):
+                        self.paths.append(os.path.join(root, cls, n))
+                        labels.append(ci)
+            self.labels = np.asarray(labels, np.int64)
+            self.num_classes = len(classes)
+        else:
+            self.paths = [os.path.join(root, n) for n in sorted(os.listdir(root))
+                          if n.lower().endswith(_IMG_EXTS)]
+            self.labels = None
+            self.num_classes = 0
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def load(self, idx: int, size: int) -> np.ndarray:
+        """CelebA-style transform: Resize(factor*size) -> RandomCrop(size)
+        -> RandomHorizontalFlip (train.py:36-47)."""
+        from PIL import Image
+        im = Image.open(self.paths[idx]).convert("RGB")
+        rs = int(round(size * self.resize_factor))
+        im = im.resize((rs, rs), Image.BILINEAR)
+        arr = np.asarray(im, np.uint8)
+        if self.random_crop and rs > size:
+            y = self.rng.randint(0, rs - size + 1)
+            x = self.rng.randint(0, rs - size + 1)
+            arr = arr[y:y + size, x:x + size]
+        else:
+            off = (rs - size) // 2
+            arr = arr[off:off + size, off:off + size]
+        if self.hflip and self.rng.rand() < 0.5:
+            arr = arr[:, ::-1]
+        return arr
+
+
+class WikiArtDataset:
+    """Metadata-CSV dataset (conditional_proper_wikiart.py:22-47): columns
+    filename,category,size; filters rows with size >= current resolution."""
+
+    def __init__(self, csv_path: str, image_root: str):
+        import csv as _csv
+        self.image_root = image_root
+        self.rows = []
+        cats = {}
+        with open(csv_path) as f:
+            for row in _csv.DictReader(f):
+                cat = row["category"]
+                cats.setdefault(cat, len(cats))
+                self.rows.append((row["filename"], cat, int(row["size"])))
+        self.categories = cats
+        self.num_classes = len(cats)
+
+    def subset_for(self, size: int):
+        return [(f, self.categories[c]) for f, c, s in self.rows if s >= size]
+
+    def load(self, filename: str, size: int) -> np.ndarray:
+        from PIL import Image
+        im = Image.open(os.path.join(self.image_root, filename)).convert("RGB")
+        im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, np.uint8)

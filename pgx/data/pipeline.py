@@ -1,0 +1,108 @@
+"""Batching, normalization, and device prefetch.
+
+The reference's torch DataLoader + ``.to(device)`` copy (the per-iteration
+host->device boundary, SURVEY.md section 3.1) becomes: numpy batch assembly
+on the host, ``[-1, 1]`` normalization, and a background-thread prefetcher
+that lands batches on the mesh (batch-sharded) one step ahead, so the TPU
+never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from pgx.data.datasets import ArrayDataset, ImageFolderDataset
+
+
+def normalize_to_unit(images_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1, 1] (Normalize(0.5, 0.5), train.py:44-46)."""
+    return images_u8.astype(np.float32) / 127.5 - 1.0
+
+
+def array_batches(dataset: ArrayDataset, batch_size: int, resolution: int,
+                  seed: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                   Optional[np.ndarray]]]:
+    """Infinite shuffled epochs over a per-resolution cache (replaces the
+    reference's rebuilt DataLoader per stage)."""
+    images = dataset.at_resolution(resolution)
+    labels = dataset.labels
+    rng = np.random.RandomState(seed)
+    n = len(images)
+    while True:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start:start + batch_size]
+            yield (normalize_to_unit(images[idx]),
+                   labels[idx] if labels is not None else None)
+
+
+def folder_batches(dataset: ImageFolderDataset, batch_size: int,
+                   resolution: int, seed: int = 0
+                   ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start:start + batch_size]
+            imgs = np.stack([dataset.load(int(i), resolution) for i in idx])
+            labs = (dataset.labels[idx] if dataset.labels is not None
+                    else None)
+            yield normalize_to_unit(imgs), labs
+
+
+class DevicePrefetcher:
+    """Background thread that assembles + uploads the next batch while the
+    current train step runs (double-buffered)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator, mesh=None, depth: int = 2):
+        from pgx.parallel import batch_sharding
+        self._sharding = batch_sharding(mesh) if mesh is not None else None
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._iterator = iterator
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, batch):
+        imgs, labels = batch
+        if self._sharding is not None:
+            imgs = jax.device_put(imgs, self._sharding)
+            if labels is not None:
+                labels = jax.device_put(labels, self._sharding)
+        return imgs, labels
+
+    def _worker(self):
+        try:
+            for batch in self._iterator:
+                if self._stop.is_set():
+                    return
+                self._q.put(self._put(batch))
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the worker can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,9 @@
+"""Mesh/sharding helpers and distributed training stats."""
+
+from pgx.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

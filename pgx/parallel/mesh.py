@@ -1,0 +1,45 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process/single-device with unused DDP plumbing
+(SURVEY.md section 2.8).  Here data parallelism is first-class: a 1-D
+``('data',)`` mesh, batches sharded over it, parameters/optimizer state
+replicated.  Under jit + GSPMD the train step's batch reductions (losses,
+gradients, minibatch-stddev) are global automatically — XLA inserts the
+psums over ICI; no NCCL-style code is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Place host arrays on device, batch-sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

@@ -1,0 +1,14 @@
+"""Training engine: WGAN-GP step functions, growth schedulers, train loop."""
+
+from pgx.train.schedule import (  # noqa: F401
+    LegacySchedule,
+    ProperSchedule,
+    ScheduleState,
+)
+from pgx.train.wgan import (  # noqa: F401
+    TrainConfig,
+    init_train_state,
+    make_eval_generate,
+    make_optimizer,
+    make_train_step,
+)

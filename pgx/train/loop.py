@@ -1,0 +1,221 @@
+"""The host-side training loop.
+
+Orchestrates: growth schedule -> per-stage jitted train steps (cached per
+(step, fading, update_g)) -> prefetched data -> periodic sample grids,
+checkpoints, and CSV/console logging — mirroring the reference loop protocol
+(SURVEY.md section 2.3) with full-state resume the reference lacks.
+
+Design notes (TPU):
+* one compiled graph per (stage, fade-phase); alpha is traced, so a stage
+  compiles at most twice and never retraces as alpha anneals.
+* metric accumulation stays on device between log points (no per-iteration
+  host sync); the only host work in steady state is the numpy batch prep,
+  which the DevicePrefetcher overlaps with the device step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgx import checkpoint as ckpt
+from pgx.data.pipeline import DevicePrefetcher, array_batches
+from pgx.models.config import DiscriminatorConfig, GeneratorConfig
+from pgx.models.generator import generator_apply
+from pgx.parallel import make_mesh, replicate
+from pgx.train.wgan import TrainConfig, init_train_state, make_train_step
+from pgx.utils.png import save_image_grid
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    trial_name: str = "trial"
+    main_path: str = "."
+    batch_size: int = 4
+    sample_every: int = 1000
+    checkpoint_every: int = 10000
+    log_every: int = 500
+    seed: int = 0
+    total_iterations: Optional[int] = None
+    tail_iterations: int = 0          # mnist_train.py:88-90 final-res tail
+    sample_rows: int = 5
+    sample_cols: int = 10
+    keep_full_state: bool = True
+    use_mesh: bool = True
+    verbose: bool = True
+
+
+def make_trial_dir(loop_cfg: LoopConfig) -> Tuple[str, str]:
+    """trial_{name}_{date}_{hour}_{minute} layout (train.py:78-89)."""
+    now = datetime.datetime.now()
+    postfix = f"{loop_cfg.trial_name}_{now.date()}_{now.hour}_{now.minute}"
+    trial_dir = os.path.join(loop_cfg.main_path, f"trial_{postfix}")
+    os.makedirs(os.path.join(trial_dir, "checkpoint"), exist_ok=True)
+    os.makedirs(os.path.join(trial_dir, "sample"), exist_ok=True)
+    return trial_dir, postfix
+
+
+def _sample_grid_inputs(gcfg: GeneratorConfig, loop_cfg: LoopConfig,
+                        rng: np.random.RandomState):
+    if gcfg.conditioning != "none":
+        c = gcfg.num_classes
+        labels = np.repeat(np.arange(c), c)     # C rows, one class per row
+        z = rng.randn(c * c, gcfg.z_dim).astype(np.float32)
+        return z, labels, c
+    n = loop_cfg.sample_rows * loop_cfg.sample_cols
+    z = rng.randn(n, gcfg.z_dim).astype(np.float32)
+    return z, None, loop_cfg.sample_cols
+
+
+def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
+               tc: TrainConfig, schedule, dataset, loop_cfg: LoopConfig,
+               resume_dir: Optional[str] = None,
+               batch_fn: Callable = array_batches,
+               hooks: Optional[Dict[str, Callable]] = None) -> str:
+    """Run training; returns the trial directory path."""
+    hooks = hooks or {}
+    mesh = make_mesh() if loop_cfg.use_mesh else None
+
+    key = jax.random.PRNGKey(loop_cfg.seed)
+    state = init_train_state(key, gcfg, dcfg, tc)
+    start_iter = 0
+
+    if resume_dir is not None:
+        trial_dir = resume_dir
+        postfix = os.path.basename(trial_dir)[len("trial_"):]
+        state_files = sorted(
+            (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
+             if f.endswith("_state.msgpack")),
+            key=lambda n: int(n.split("_")[0]))
+        if state_files:
+            path = os.path.join(trial_dir, "checkpoint", state_files[-1])
+            state = ckpt.load_state(path, state)
+            start_iter = int(state["iteration"])
+        else:
+            # model-only resume (reference semantics: EMA ckpt loaded into
+            # both G and g_running, mnist_train.py:312-314)
+            gpath = ckpt.latest_checkpoint(trial_dir, "g")
+            dpath = ckpt.latest_checkpoint(trial_dir, "d")
+            if gpath is None:
+                raise FileNotFoundError(f"no checkpoints in {trial_dir}")
+            g = ckpt.load_params(gpath)
+            state["g"], state["g_ema"] = g, jax.tree.map(jnp.copy, g)
+            state["d"] = ckpt.load_params(dpath)
+            start_iter = ckpt.checkpoint_iteration(gpath)
+            state["iteration"] = jnp.asarray(start_iter, jnp.int32)
+    else:
+        trial_dir, postfix = make_trial_dir(loop_cfg)
+        ckpt.save_config(trial_dir, gcfg, dcfg, tc,
+                         extra={"batch_size": loop_cfg.batch_size,
+                                "seed": loop_cfg.seed},
+                         postfix=postfix)
+
+    log_path = os.path.join(trial_dir, f"train_log_{postfix}.txt")
+    if not os.path.exists(log_path):
+        with open(log_path, "w") as f:
+            f.write("iter,g,d,grad,alpha\n")
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    total = (loop_cfg.total_iterations
+             if loop_cfg.total_iterations is not None
+             else schedule.total_iterations(loop_cfg.tail_iterations))
+
+    step_cache: Dict[Any, Callable] = {}
+    gen_cache: Dict[Any, Callable] = {}
+    sample_rng = np.random.RandomState(loop_cfg.seed + 1)
+    sample_z, sample_labels, sample_nrow = _sample_grid_inputs(
+        gcfg, loop_cfg, sample_rng)
+
+    prefetcher = None
+    current_res = None
+    sums: Dict[str, Any] = {}
+    count = 0
+    t_log = time.time()
+
+    try:
+        for i in range(start_iter, total):
+            st = schedule.state_at(i)
+            if st.resolution != current_res:
+                if prefetcher is not None:
+                    prefetcher.close()
+                prefetcher = DevicePrefetcher(
+                    batch_fn(dataset, loop_cfg.batch_size, st.resolution,
+                             seed=loop_cfg.seed + st.step), mesh)
+                current_res = st.resolution
+
+            imgs, labels = next(prefetcher)
+            update_g = (i + 1) % tc.n_critic == 0
+            fkey = (st.step, st.fading, update_g)
+            if fkey not in step_cache:
+                step_cache[fkey] = make_train_step(
+                    gcfg, dcfg, tc, step=st.step, fading=st.fading,
+                    update_g=update_g)
+            state, metrics = step_cache[fkey](
+                state, imgs, labels, jnp.float32(st.alpha))
+
+            count += 1
+            sums = (metrics if not sums else
+                    jax.tree.map(lambda a, b: a + b, sums, metrics))
+
+            it = i + 1
+            if it % loop_cfg.sample_every == 0 or i == start_iter:
+                gkey = (st.step, st.fading)
+                if gkey not in gen_cache:
+                    gen_cache[gkey] = jax.jit(
+                        lambda p, z, lab, a, _s=st.step, _f=st.fading:
+                        generator_apply(p, gcfg, z, lab, step=_s, alpha=a,
+                                        fading=_f))
+                images = gen_cache[gkey](
+                    state["g_ema"], jnp.asarray(sample_z),
+                    jnp.asarray(sample_labels)
+                    if sample_labels is not None else None,
+                    jnp.float32(st.alpha))
+                save_image_grid(
+                    os.path.join(trial_dir, "sample",
+                                 f"{str(it).zfill(3)}.png"),
+                    np.asarray(images), nrow=sample_nrow)
+
+            if it % loop_cfg.checkpoint_every == 0 or i == start_iter:
+                try:
+                    ckpt.save_checkpoint(trial_dir, it, jax.device_get(state),
+                                         full_state=loop_cfg.keep_full_state)
+                except OSError:
+                    pass  # reference behavior: never die on a ckpt write
+
+            if it % loop_cfg.log_every == 0 and count:
+                vals = {k: float(v) / count for k, v in sums.items()}
+                dt = time.time() - t_log
+                ips = count * loop_cfg.batch_size / max(dt, 1e-9)
+                msg = (f"{it}; G: {vals.get('g_loss', 0):.3f}; "
+                       f"D: {vals.get('d_loss', 0):.3f}; "
+                       f"Grad: {vals.get('grad_penalty', 0):.3f}; "
+                       f"Alpha: {st.alpha:.3f}; "
+                       f"res {st.resolution}; {ips:.1f} img/s")
+                if loop_cfg.verbose:
+                    print(msg, flush=True)
+                with open(log_path, "a") as f:
+                    f.write(f"{it},{vals.get('g_loss', 0):.5f},"
+                            f"{vals.get('d_loss', 0):.5f},"
+                            f"{vals.get('grad_penalty', 0):.5f},"
+                            f"{st.alpha:.5f}\n")
+                sums, count, t_log = {}, 0, time.time()
+
+            if "on_iteration" in hooks:
+                hooks["on_iteration"](i, st, state, metrics)
+    finally:
+        if prefetcher is not None:
+            prefetcher.close()
+
+    ckpt.save_checkpoint(trial_dir, total, jax.device_get(state),
+                         full_state=loop_cfg.keep_full_state)
+    return trial_dir

@@ -1,0 +1,190 @@
+"""WGAN-GP training engine: one fused, stage-specialized train step.
+
+Reproduces the reference's per-iteration math exactly (canonical copy
+train.py:121-169 / proper_cifar_train.py:191-238):
+
+  D loss   = -E[D(real)] + 0.001*E[D(real)^2]          (drift penalty)
+             + E[D(fake)]                               (fake term)
+             + 10 * E[(||grad_{x_hat} D(x_hat)||_2 - 1)^2]   (WGAN-GP)
+  with x_hat = eps*real + (1-eps)*fake, eps ~ U[0,1) per sample.
+  G loss   = -E[D_updated(G(z))] using the SAME z as the D step and the
+             freshly updated D (reference order of operations).
+  EMA      : g_ema = 0.999*g_ema + 0.001*g after every G update
+             (accumulate(), train.py:17-22).
+  Optimizers: two Adam(lr, betas=(0.0, 0.99), eps=1e-8).
+
+TPU-first design: the reference needs 3 D forwards + 4 backwards (one a
+double-backward through conv2d_gradfix) per iteration; here the whole
+iteration is ONE jitted function — the gradient penalty's second-order term
+is a nested ``jax.grad`` (SURVEY.md section 7, "absorbed by autodiff"), and
+XLA fuses/CSEs the shared forwards.  ``step``/``fading``/``update_g`` are
+static so each growth stage compiles exactly two graphs (fade / stabilize).
+
+Conditional variants thread the real batch's labels through G, D, and the
+x_hat scoring (reference: conditional_proper_cifar_train.py:197-234).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pgx.models.config import DiscriminatorConfig, GeneratorConfig
+from pgx.models.discriminator import discriminator_apply, init_discriminator
+from pgx.models.generator import generator_apply, init_generator
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters of the WGAN-GP loop (reference defaults)."""
+
+    learning_rate: float = 1e-3
+    beta1: float = 0.0
+    beta2: float = 0.99
+    adam_eps: float = 1e-8
+    lambda_gp: float = 10.0
+    drift: float = 1e-3
+    ema_decay: float = 0.999
+    n_critic: int = 1
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2,
+                      eps=tc.adam_eps)
+
+
+def init_train_state(key: jax.Array, gcfg: GeneratorConfig,
+                     dcfg: DiscriminatorConfig,
+                     tc: TrainConfig) -> Dict[str, Any]:
+    """Build the full training state pytree.
+
+    The EMA copy is initialized as an exact copy of G
+    (accumulate(g_running, generator, 0), train.py:254-259).
+    """
+    kg, kd, krng = jax.random.split(key, 3)
+    g = init_generator(kg, gcfg)
+    d = init_discriminator(kd, dcfg)
+    opt = make_optimizer(tc)
+    return {
+        "g": g,
+        "d": d,
+        "g_ema": jax.tree.map(jnp.copy, g),
+        "opt_g": opt.init(g),
+        "opt_d": opt.init(d),
+        "rng": krng,
+        "iteration": jnp.zeros((), jnp.int32),
+    }
+
+
+def _ema_update(ema: Params, new: Params, decay: float) -> Params:
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
+
+
+def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
+                    tc: TrainConfig, *, step: int, fading: bool,
+                    update_g: bool = True,
+                    stddev_axis_name: Optional[str] = None,
+                    donate: bool = True):
+    """Build the jitted train step for one (stage, fade-phase).
+
+    Returns ``fn(state, real, labels, alpha) -> (state, metrics)``.
+    ``real`` is NHWC in [-1, 1] at this stage's resolution; ``labels`` may be
+    None for unconditional configs; ``alpha`` is a traced scalar.
+    """
+    conditional = gcfg.conditioning != "none"
+    opt = make_optimizer(tc)
+
+    def g_fwd(params: Params, z, labels, alpha):
+        return generator_apply(params, gcfg, z, labels, step=step,
+                               alpha=alpha, fading=fading)
+
+    def d_fwd(params: Params, img, labels, alpha):
+        out = discriminator_apply(params, dcfg, img, labels, step=step,
+                                  alpha=alpha, fading=fading,
+                                  stddev_axis_name=stddev_axis_name)
+        return out.reshape(-1)
+
+    def train_step(state, real, labels, alpha):
+        rng = state["rng"]
+        rng, kz, keps = jax.random.split(rng, 3)
+        bsz = real.shape[0]
+        z = jax.random.normal(kz, (bsz, gcfg.z_dim), jnp.float32)
+        lab = labels if conditional else None
+
+        fake = g_fwd(state["g"], z, lab, alpha)
+        fake = jax.lax.stop_gradient(fake)
+
+        # --- D update -----------------------------------------------------
+        eps = jax.random.uniform(keps, (bsz, 1, 1, 1), real.dtype)
+        x_hat = eps * real + (1.0 - eps) * fake
+
+        def d_loss_fn(pd):
+            real_scores = d_fwd(pd, real, lab, alpha)
+            fake_scores = d_fwd(pd, fake, lab, alpha)
+            real_drifted = (jnp.mean(real_scores)
+                            - tc.drift * jnp.mean(jnp.square(real_scores)))
+            grad_x = jax.grad(
+                lambda xh: jnp.sum(d_fwd(pd, xh, lab, alpha)))(x_hat)
+            acc = jnp.promote_types(grad_x.dtype, jnp.float32)
+            norms = jnp.sqrt(
+                jnp.sum(jnp.square(grad_x.astype(acc)), axis=(1, 2, 3)))
+            gp = tc.lambda_gp * jnp.mean(jnp.square(norms - 1.0))
+            loss = -real_drifted + jnp.mean(fake_scores) + gp
+            aux = {
+                "d_loss": real_drifted - jnp.mean(fake_scores),
+                "grad_penalty": gp,
+                "real_score": jnp.mean(real_scores),
+                "fake_score": jnp.mean(fake_scores),
+            }
+            return loss, aux
+
+        (d_total, d_aux), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state["d"])
+        d_updates, opt_d = opt.update(d_grads, state["opt_d"], state["d"])
+        new_d = optax.apply_updates(state["d"], d_updates)
+
+        metrics = dict(d_aux)
+        metrics["d_total"] = d_total
+
+        # --- G update (every n_critic iters; same z, updated D) -----------
+        if update_g:
+            def g_loss_fn(pg):
+                imgs = g_fwd(pg, z, lab, alpha)
+                return -jnp.mean(d_fwd(new_d, imgs, lab, alpha))
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
+            g_updates, opt_g = opt.update(g_grads, state["opt_g"], state["g"])
+            new_g = optax.apply_updates(state["g"], g_updates)
+            g_ema = _ema_update(state["g_ema"], new_g, tc.ema_decay)
+            metrics["g_loss"] = g_loss
+        else:
+            new_g, opt_g, g_ema = state["g"], state["opt_g"], state["g_ema"]
+            metrics["g_loss"] = jnp.zeros((), jnp.float32)
+
+        new_state = {
+            "g": new_g, "d": new_d, "g_ema": g_ema,
+            "opt_g": opt_g, "opt_d": opt_d,
+            "rng": rng,
+            "iteration": state["iteration"] + 1,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_generate(gcfg: GeneratorConfig, *, step: int, fading: bool):
+    """Jitted sampling from (usually) the EMA generator."""
+    @functools.partial(jax.jit, static_argnums=())
+    def generate(params, z, labels, alpha):
+        lab = labels if gcfg.conditioning != "none" else None
+        return generator_apply(params, gcfg, z, lab, step=step, alpha=alpha,
+                               fading=fading)
+    return generate

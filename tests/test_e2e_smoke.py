@@ -1,0 +1,110 @@
+"""End-to-end smoke: tiny MNIST-config training run through the real loop
+(SURVEY.md section 4 item (d)): losses finite, schedule advances through a
+stage switch, samples + checkpoints + logs written, resume works."""
+
+import os
+
+import numpy as np
+
+from pgx import checkpoint as ckpt
+from pgx.data import synthetic_dataset
+from pgx.models import zoo
+from pgx.train import LegacySchedule, TrainConfig
+from pgx.train.loop import LoopConfig, train_loop
+
+
+def _tiny_setup(tmp_path, total_iter=24, max_step=2):
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    schedule = LegacySchedule(total_iter, max_step, 1)
+    dataset = synthetic_dataset(n=64, size=32, channels=1, seed=0)
+    loop_cfg = LoopConfig(trial_name="smoke", main_path=str(tmp_path),
+                          batch_size=8, sample_every=10, checkpoint_every=10,
+                          log_every=5, verbose=False)
+    return gcfg, dcfg, tc, schedule, dataset, loop_cfg
+
+
+def test_training_loop_end_to_end(tmp_path):
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    # stage switch happened: schedule spans two resolutions in 24 iters
+    assert schedule.state_at(0).resolution == 8
+    assert schedule.state_at(schedule.total_iterations() - 1).resolution == 16
+
+    # artifacts: config json, CSV log, samples, checkpoints
+    cfg = ckpt.load_config(trial_dir)
+    g2, d2, t2 = ckpt.configs_from_dict(cfg)
+    assert g2 == gcfg and d2 == dcfg and t2 == tc
+
+    log = [f for f in os.listdir(trial_dir) if f.startswith("train_log")]
+    assert log
+    lines = open(os.path.join(trial_dir, log[0])).read().strip().splitlines()
+    assert lines[0] == "iter,g,d,grad,alpha"
+    assert len(lines) > 1
+    vals = np.asarray([l.split(",")[1:3] for l in lines[1:]], np.float32)
+    assert np.isfinite(vals).all()
+
+    samples = os.listdir(os.path.join(trial_dir, "sample"))
+    assert any(s.endswith(".png") for s in samples)
+    assert ckpt.latest_checkpoint(trial_dir, "g") is not None
+    assert ckpt.latest_checkpoint(trial_dir, "d") is not None
+
+
+def test_resume_from_full_state(tmp_path):
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg.total_iterations = 12
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 20})
+    trial_dir2 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2,
+                            resume_dir=trial_dir)
+    assert trial_dir2 == trial_dir
+    last = ckpt.latest_checkpoint(trial_dir, "g")
+    assert ckpt.checkpoint_iteration(last) == 20
+
+
+def test_model_only_resume(tmp_path):
+    """Reference-style resume: only *_g.model / *_d.model present."""
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg.total_iterations = 10
+    loop_cfg.keep_full_state = False
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 14})
+    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2,
+               resume_dir=trial_dir)
+    assert ckpt.checkpoint_iteration(
+        ckpt.latest_checkpoint(trial_dir, "g")) == 14
+
+
+def test_checkpoint_roundtrip_and_grower(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pgx.models import init_generator
+
+    from pgx.models import GeneratorConfig
+
+    # grow a 3-stage (4..16) proper net into a 4-stage (4..32) one
+    small_cfg = GeneratorConfig(z_dim=8, channels=(8, 8, 8), arch="proper",
+                                tanh=False, max_step=3)
+    big_cfg = GeneratorConfig(z_dim=8, channels=(8, 8, 8, 8), arch="proper",
+                              tanh=False, max_step=4)
+    small = init_generator(jax.random.PRNGKey(0), small_cfg)
+    big = init_generator(jax.random.PRNGKey(1), big_cfg)
+
+    path = os.path.join(str(tmp_path), "g.model.npz")
+    ckpt.save_params(path, small)
+    small2 = ckpt.load_params(path)
+    for a, b in zip(jax.tree.leaves(small), jax.tree.leaves(small2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    grown = ckpt.grow_params(small2, big)
+    z = jax.random.normal(jax.random.PRNGKey(2), (3, 8))
+    ckpt.assert_grow_equivalence(small, small_cfg, grown, big_cfg, z, step=2)
+    # new stages unchanged from big's init
+    np.testing.assert_array_equal(
+        np.asarray(grown["to_rgb"]["32"]["w"]),
+        np.asarray(big["to_rgb"]["32"]["w"]))

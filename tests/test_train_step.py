@@ -1,0 +1,163 @@
+"""Gold test: one fused pgx train step reproduces the reference's full
+iteration (3 D-forwards + double-backward GP + Adam x2 + EMA) bit-close.
+
+The torch side executes the documented per-iteration recipe
+(SURVEY.md section 2.3) on the actual reference models in float64, with
+weights transplanted and identical z/eps draws.
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pgx.models import zoo
+from pgx.train import TrainConfig, init_train_state, make_train_step
+from tests import torch_oracle as oracle
+
+
+def _torch_reference_iteration(G, D, g_ema, opt_g, opt_d, real, z, eps,
+                               step, alpha):
+    """One training iteration exactly as the reference loop performs it
+    (proper_cifar_train.py:191-238)."""
+    D.zero_grad()
+    real_predict = D(real, step=step, alpha=alpha)
+    real_predict = real_predict.mean() - 0.001 * (real_predict ** 2).mean()
+    (-real_predict).backward()
+
+    fake = G(z, step=step, alpha=alpha)
+    fake_predict = D(fake.detach(), step=step, alpha=alpha).mean()
+    fake_predict.backward()
+
+    x_hat = (eps * real.data + (1 - eps) * fake.detach().data)
+    x_hat.requires_grad_(True)
+    hat_predict = D(x_hat, step=step, alpha=alpha)
+    grad_x_hat = torch.autograd.grad(hat_predict.sum(), x_hat,
+                                     create_graph=True)[0]
+    grad_penalty = 10 * ((grad_x_hat.reshape(grad_x_hat.size(0), -1)
+                          .norm(2, dim=1) - 1) ** 2).mean()
+    grad_penalty.backward()
+    opt_d.step()
+
+    G.zero_grad()
+    D.zero_grad()
+    predict = D(fake, step=step, alpha=alpha)
+    g_loss = -predict.mean()
+    g_loss.backward()
+    opt_g.step()
+
+    with torch.no_grad():
+        for pe, pg in zip(g_ema.parameters(), G.parameters()):
+            pe.mul_(0.999).add_(pg, alpha=0.001)
+
+    return {
+        "d_loss": (real_predict - fake_predict).item(),
+        "grad_penalty": grad_penalty.item(),
+        "g_loss": g_loss.item(),
+    }
+
+
+def test_train_step_matches_reference_iteration():
+    pm, _ = oracle.load_reference_modules()
+    torch.manual_seed(42)
+    G = pm.CorrectGenerator(input_code_dim=8, in_channel=8).double()
+    D = pm.CorrectDiscriminator(feat_dim=8).double()
+    g_ema = pm.CorrectGenerator(input_code_dim=8, in_channel=8).double()
+    g_ema.load_state_dict(G.state_dict())
+
+    gcfg = zoo.correct_generator(z_dim=8, channel=8, dtype="float64")
+    dcfg = zoo.correct_discriminator(feat_dim=8, dtype="float64")
+    tc = TrainConfig()
+
+    key = jax.random.PRNGKey(7)
+    state = init_train_state(key, gcfg, dcfg, tc)
+    # overwrite random init with the torch weights
+    state["g"] = oracle.generator_params_from_torch(G, gcfg)
+    state["d"] = oracle.discriminator_params_from_torch(D, dcfg)
+    state["g_ema"] = jax.tree.map(jnp.copy, state["g"])
+    opt = __import__("pgx.train.wgan", fromlist=["make_optimizer"])
+    state["opt_g"] = opt.make_optimizer(tc).init(state["g"])
+    state["opt_d"] = opt.make_optimizer(tc).init(state["d"])
+
+    step, alpha, fading = 3, 0.6, True
+    res = 4 * 2 ** (step - 1)
+    rng_np = np.random.RandomState(0)
+    real = rng_np.randn(4, res, res, 3)
+
+    # replicate the train step's internal randomness for the torch side
+    _, kz, keps = jax.random.split(state["rng"], 3)
+    z = np.asarray(jax.random.normal(kz, (4, gcfg.z_dim), jnp.float32),
+                   dtype=np.float64)
+    eps = np.asarray(jax.random.uniform(keps, (4, 1, 1, 1), jnp.float64))
+
+    train_step = make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
+                                 donate=False)
+    new_state, metrics = train_step(state, jnp.asarray(real), None,
+                                    jnp.asarray(alpha, jnp.float64))
+
+    opt_g = torch.optim.Adam(G.parameters(), lr=1e-3, betas=(0.0, 0.99))
+    opt_d = torch.optim.Adam(D.parameters(), lr=1e-3, betas=(0.0, 0.99))
+    want = _torch_reference_iteration(
+        G, D, g_ema, opt_g, opt_d,
+        torch.from_numpy(real).permute(0, 3, 1, 2),
+        torch.from_numpy(z), torch.from_numpy(eps), step, alpha)
+
+    # metrics match
+    np.testing.assert_allclose(float(metrics["d_loss"]), want["d_loss"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(metrics["grad_penalty"]),
+                               want["grad_penalty"], rtol=1e-8)
+    np.testing.assert_allclose(float(metrics["g_loss"]), want["g_loss"],
+                               rtol=1e-8)
+
+    # updated parameters match (spot-check via re-transplant of torch nets)
+    want_g = oracle.generator_params_from_torch(G, gcfg)
+    want_d = oracle.discriminator_params_from_torch(D, dcfg)
+    want_ema = oracle.generator_params_from_torch(g_ema, gcfg)
+    for name, ours, theirs in [("g", new_state["g"], want_g),
+                               ("d", new_state["d"], want_d),
+                               ("g_ema", new_state["g_ema"], want_ema)]:
+        flat_a = jax.tree.leaves(ours)
+        flat_b = jax.tree.leaves(theirs)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-10,
+                                       err_msg=f"mismatch in {name}")
+
+
+def test_train_step_runs_sharded_and_f32():
+    """The production path: f32, batch sharded over the 8-device CPU mesh."""
+    from pgx.parallel import make_mesh, replicate, shard_batch
+
+    gcfg = zoo.mnist_generator(z_dim=16, channel=16)
+    dcfg = zoo.mnist_discriminator(feat_dim=16)
+    tc = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    real = np.random.RandomState(0).randn(16, 16, 16, 1).astype(np.float32)
+    real = shard_batch(mesh, real)
+
+    train_step = make_train_step(gcfg, dcfg, tc, step=2, fading=True)
+    state, metrics = train_step(state, real, None, jnp.float32(0.3))
+    state, metrics = train_step(state, real, None, jnp.float32(0.35))
+    assert np.isfinite(float(metrics["d_total"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert int(state["iteration"]) == 2
+
+
+def test_conditional_train_step_runs():
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, channel=8, num_classes=5)
+    dcfg = zoo.mnist_conditional_discriminator_wgangp(feat_dim=8,
+                                                      num_classes=5)
+    tc = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(1), gcfg, dcfg, tc)
+    real = np.random.RandomState(1).randn(4, 8, 8, 1).astype(np.float32)
+    labels = np.array([0, 1, 2, 3])
+    train_step = make_train_step(gcfg, dcfg, tc, step=1, fading=False)
+    state, metrics = train_step(state, jnp.asarray(real),
+                                jnp.asarray(labels), jnp.float32(1.0))
+    assert np.isfinite(float(metrics["d_total"]))
