@@ -1,0 +1,90 @@
+"""Headline benchmark: images/sec/chip for a full G+D WGAN-GP train step at
+the 128x128 stage (BASELINE.md north-star).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+``vs_baseline`` compares against the PyTorch reference running its own
+training iteration for the same workload on the hardware it supports here
+(CPU; the reference has no TPU path).  The reference-side measurement is
+cached in BASELINE_MEASURED.json by tools/measure_reference_baseline.py; if
+absent, vs_baseline is null.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_train_step(batch_size: int, dtype: str, steps: int,
+                     fading: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_configs
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    gcfg, dcfg = _flagship_configs(dtype=dtype)
+    tc = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+
+    res = 128
+    real = jnp.asarray(
+        np.random.RandomState(0).randn(batch_size, res, res, 3)
+        .astype(np.float32))
+    alpha = jnp.float32(1.0)
+
+    train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading)
+
+    # compile + warmup.  NOTE: on the axon-relay TPU platform
+    # block_until_ready() returns before remote execution completes; only a
+    # host fetch forces completion, so we time N chained steps and fetch one
+    # scalar at the end (the state dependency chain serializes the steps).
+    state, metrics = train_step(state, real, None, alpha)
+    float(metrics["d_total"])
+    for _ in range(2):
+        state, metrics = train_step(state, real, None, alpha)
+    float(metrics["d_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, real, None, alpha)
+    float(metrics["d_total"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, metrics
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args()
+
+    ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps)
+
+    vs = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_ips = ref.get("reference_images_per_sec")
+        if ref_ips:
+            vs = ips / ref_ips
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_128px_gd_step",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,10 @@ fan_in semantics reproduce the reference's quirk exactly
 Parameters are plain dict pytrees; all image tensors are NHWC; conv kernels
 are stored HWIO (transpose-conv kernels HWOI, see ``equal_conv_transpose2d``).
 Compute runs in ``x.dtype`` (callers pick f32 or bf16); scales are applied in
-f32 then cast, and matmuls/convs request f32 accumulation for MXU use.
+f32 then cast.  Convs/matmuls keep the compute dtype end-to-end — the TPU MXU
+accumulates in f32 internally for bf16 operands, and leaving the output dtype
+equal to the input dtype keeps forward and VJP kernels dtype-consistent
+(an explicit f32 preferred_element_type breaks the bf16 backward conv).
 """
 
 from __future__ import annotations
@@ -99,8 +102,7 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
         x, w, window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_CONV_DIMNUMS,
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
-    ).astype(x.dtype)
+    )
     return y + p["b"].astype(x.dtype)
 
 
@@ -136,8 +138,7 @@ def equal_conv_transpose2d(p: Params, x: jnp.ndarray, stride: int = 1,
         x, w.astype(x.dtype), window_strides=(1, 1), padding=pad,
         lhs_dilation=(stride, stride),
         dimension_numbers=_CONV_DIMNUMS,
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
-    ).astype(x.dtype)
+    )
     return y + p["b"].astype(x.dtype)
 
 
@@ -149,10 +150,7 @@ def latent_to_4x4(p: Params, z: jnp.ndarray) -> jnp.ndarray:
     kh, kw, out_ch, in_ch = p["w"].shape
     scale = math.sqrt(2.0 / (out_ch * kh * kw))
     w = (p["w"] * scale).astype(z.dtype).reshape(kh * kw * out_ch, in_ch)
-    y = jax.lax.dot_general(
-        z, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.promote_types(z.dtype, jnp.float32),
-    ).astype(z.dtype)
+    y = jax.lax.dot_general(z, w, (((1,), (1,)), ((), ())))
     y = y.reshape(z.shape[0], kh, kw, out_ch)
     return y + p["b"].astype(z.dtype)
 
@@ -169,10 +167,7 @@ def equal_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     in_dim = p["w"].shape[0]
     scale = math.sqrt(2.0 / in_dim)
     w = (p["w"] * scale).astype(x.dtype)
-    y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
-    ).astype(x.dtype)
+    y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
     return y + p["b"].astype(x.dtype)
 
 
