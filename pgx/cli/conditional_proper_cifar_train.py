@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
     p.add_argument("--ada-heads", action="store_true")
+    p.add_argument("--ada", action="store_true",
+                   help="enable the ADA augmentation pipeline with the "
+                        "adaptive-p controller (bgc policy)")
+    p.add_argument("--ada-target", type=float, default=0.6)
+    p.add_argument("--ada-length", type=int, default=500000)
     args = p.parse_args(argv)
 
     if args.ada_heads:
@@ -55,8 +60,15 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh)
+    augment_cfg = ada_cfg = None
+    if args.ada:
+        from pgx.augment import AdaConfig, bgc_config
+        augment_cfg = bgc_config()
+        ada_cfg = AdaConfig(ada_target=args.ada_target,
+                            ada_length=args.ada_length)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume)
+                           resume_dir=args.resume, augment_cfg=augment_cfg,
+                           ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -26,13 +26,14 @@ def legacy_generator(z_dim: int = 128, channel: int = 128,
         **kw)
 
 
-def legacy_discriminator(feat_dim: int = 128, **kw) -> DiscriminatorConfig:
+def legacy_discriminator(feat_dim: int = 128, max_step: int = 6,
+                         **kw) -> DiscriminatorConfig:
     """progan_modules.Discriminator (ref :257-311)."""
     f = feat_dim
     return DiscriminatorConfig(
         stage_in=(f, f, f, f, f // 2, f // 4, f // 4),
         stage_out=(f, f, f, f, f, f // 2, f // 4),
-        arch="legacy", max_step=6, **kw)
+        arch="legacy", max_step=max_step, **kw)
 
 
 def conditional_generator(z_dim: int = 128, num_classes: int = 10,
@@ -70,11 +71,12 @@ def correct_generator(z_dim: int = 512, channel: int = 512,
                            max_step=max_step, arch="proper", **kw)
 
 
-def correct_discriminator(feat_dim: int = 512, **kw) -> DiscriminatorConfig:
+def correct_discriminator(feat_dim: int = 512, max_step: int = 4,
+                          **kw) -> DiscriminatorConfig:
     """progan_modules.CorrectDiscriminator (ref :548-598)."""
     f = feat_dim
     return DiscriminatorConfig(stage_in=(f, f, f, f), stage_out=(f, f, f, f),
-                               arch="proper", max_step=4, **kw)
+                               arch="proper", max_step=max_step, **kw)
 
 
 def conditional_correct_generator(z_dim: int = 512, num_classes: int = 10,
@@ -94,14 +96,15 @@ def conditional_correct_generator(z_dim: int = 512, num_classes: int = 10,
 
 def conditional_correct_discriminator_wgangp(
         feat_dim: int = 128, num_classes: int = 10,
-        do_equal_embed: bool = False, **kw) -> DiscriminatorConfig:
+        do_equal_embed: bool = False, max_step: int = 6,
+        **kw) -> DiscriminatorConfig:
     """progan_modules.ConditionalCorrectDiscriminatorWgangp (ref :697-775)."""
     f = feat_dim
     return DiscriminatorConfig(
         stage_in=(f, f, f, f, f // 2, f // 4),
         stage_out=(f, f, f, f, f, f // 2),
         arch="proper", conditioning="label_plane", num_classes=num_classes,
-        equal_embed=do_equal_embed, max_step=6, **kw)
+        equal_embed=do_equal_embed, max_step=max_step, **kw)
 
 
 def conditional_correct_generator_ada(z_dim: int = 512, num_classes: int = 10,
@@ -120,13 +123,15 @@ def conditional_correct_generator_ada(z_dim: int = 512, num_classes: int = 10,
 
 def conditional_correct_discriminator_ada(feat_dim: int = 512,
                                           num_classes: int = 10,
+                                          max_step: int = 4,
                                           **kw) -> DiscriminatorConfig:
     """progan_modules.ConditionalCorrectDiscriminatorAda (ref :857-915):
     projection-discriminator head."""
     f = feat_dim
     return DiscriminatorConfig(
         stage_in=(f, f, f, f), stage_out=(f, f, f, f), arch="proper",
-        conditioning="projection", num_classes=num_classes, max_step=4, **kw)
+        conditioning="projection", num_classes=num_classes,
+        max_step=max_step, **kw)
 
 
 # --------------------------------------------------------------------------

@@ -54,12 +54,13 @@ def affine_grid(theta: jnp.ndarray, size, align_corners: bool = False
     size = (B, H, W).  Returns (B, H, W, 2) with (x, y) last.
     """
     b, h, w = size
+    dt = theta.dtype
     if align_corners:
-        ys = jnp.linspace(-1.0, 1.0, h)
-        xs = jnp.linspace(-1.0, 1.0, w)
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=dt)
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=dt)
     else:
-        ys = (jnp.arange(h) * 2 + 1) / h - 1.0
-        xs = (jnp.arange(w) * 2 + 1) / w - 1.0
+        ys = (jnp.arange(h, dtype=dt) * 2 + 1) / h - 1.0
+        xs = (jnp.arange(w, dtype=dt) * 2 + 1) / w - 1.0
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     ones = jnp.ones_like(gx)
     coords = jnp.stack([gx, gy, ones], axis=-1)       # (H, W, 3)

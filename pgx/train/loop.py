@@ -79,8 +79,10 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                tc: TrainConfig, schedule, dataset, loop_cfg: LoopConfig,
                resume_dir: Optional[str] = None,
                batch_fn: Callable = array_batches,
+               augment_cfg=None, ada_cfg=None,
                hooks: Optional[Dict[str, Callable]] = None) -> str:
-    """Run training; returns the trial directory path."""
+    """Run training; returns the trial directory path.  ``augment_cfg`` /
+    ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
     mesh = make_mesh() if loop_cfg.use_mesh else None
 
@@ -159,7 +161,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             if fkey not in step_cache:
                 step_cache[fkey] = make_train_step(
                     gcfg, dcfg, tc, step=st.step, fading=st.fading,
-                    update_g=update_g)
+                    update_g=update_g, augment_cfg=augment_cfg,
+                    ada_cfg=ada_cfg)
             state, metrics = step_cache[fkey](
                 state, imgs, labels, jnp.float32(st.alpha))
 

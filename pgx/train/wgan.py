@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from pgx.augment.adaptive import AdaConfig, ada_update, init_ada_state
+from pgx.augment.pipe import AugmentConfig, augment_pipe
 from pgx.models.config import DiscriminatorConfig, GeneratorConfig
 from pgx.models.discriminator import discriminator_apply, init_discriminator
 from pgx.models.generator import generator_apply, init_generator
@@ -80,6 +82,7 @@ def init_train_state(key: jax.Array, gcfg: GeneratorConfig,
         "opt_d": opt.init(d),
         "rng": krng,
         "iteration": jnp.zeros((), jnp.int32),
+        "ada": init_ada_state(0.0),
     }
 
 
@@ -91,12 +94,20 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     tc: TrainConfig, *, step: int, fading: bool,
                     update_g: bool = True,
                     stddev_axis_name: Optional[str] = None,
+                    augment_cfg: Optional[AugmentConfig] = None,
+                    ada_cfg: Optional[AdaConfig] = None,
                     donate: bool = True):
     """Build the jitted train step for one (stage, fade-phase).
 
     Returns ``fn(state, real, labels, alpha) -> (state, metrics)``.
     ``real`` is NHWC in [-1, 1] at this stage's resolution; ``labels`` may be
     None for unconditional configs; ``alpha`` is a traced scalar.
+
+    When ``augment_cfg`` is given, the ADA pipeline augments every image D
+    sees (reals, fakes, and the x_hat interpolants are built from augmented
+    endpoints), differentiable through to G; ``ada_cfg`` additionally runs
+    the adaptive-p controller on the real logits — the loop the reference
+    shipped but never wired in (SURVEY.md section 2.4).
     """
     conditional = gcfg.conditioning != "none"
     opt = make_optimizer(tc)
@@ -113,12 +124,19 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
     def train_step(state, real, labels, alpha):
         rng = state["rng"]
-        rng, kz, keps = jax.random.split(rng, 3)
+        rng, kz, keps, kar, kaf = jax.random.split(rng, 5)
         bsz = real.shape[0]
         z = jax.random.normal(kz, (bsz, gcfg.z_dim), jnp.float32)
         lab = labels if conditional else None
 
-        fake = g_fwd(state["g"], z, lab, alpha)
+        if augment_cfg is not None:
+            ada_p = state["ada"]["p"]
+            real = augment_pipe(kar, real, augment_cfg, ada_p)
+            aug_fake = lambda img: augment_pipe(kaf, img, augment_cfg, ada_p)
+        else:
+            aug_fake = lambda img: img
+
+        fake = aug_fake(g_fwd(state["g"], z, lab, alpha))
         fake = jax.lax.stop_gradient(fake)
 
         # --- D update -----------------------------------------------------
@@ -127,6 +145,7 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
         def d_loss_fn(pd):
             real_scores = d_fwd(pd, real, lab, alpha)
+            aux_scores = real_scores
             fake_scores = d_fwd(pd, fake, lab, alpha)
             real_drifted = (jnp.mean(real_scores)
                             - tc.drift * jnp.mean(jnp.square(real_scores)))
@@ -143,20 +162,27 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 "real_score": jnp.mean(real_scores),
                 "fake_score": jnp.mean(fake_scores),
             }
-            return loss, aux
+            return loss, (aux, aux_scores)
 
-        (d_total, d_aux), d_grads = jax.value_and_grad(
+        (d_total, (d_aux, real_logits)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state["d"])
         d_updates, opt_d = opt.update(d_grads, state["opt_d"], state["d"])
         new_d = optax.apply_updates(state["d"], d_updates)
 
+        ada_state = state["ada"]
+        if augment_cfg is not None and ada_cfg is not None:
+            ada_state = ada_update(ada_state,
+                                   jax.lax.stop_gradient(real_logits),
+                                   ada_cfg, bsz)
+
         metrics = dict(d_aux)
         metrics["d_total"] = d_total
+        metrics["ada_p"] = ada_state["p"]
 
         # --- G update (every n_critic iters; same z, updated D) -----------
         if update_g:
             def g_loss_fn(pg):
-                imgs = g_fwd(pg, z, lab, alpha)
+                imgs = aug_fake(g_fwd(pg, z, lab, alpha))
                 return -jnp.mean(d_fwd(new_d, imgs, lab, alpha))
 
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
@@ -173,6 +199,7 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             "opt_g": opt_g, "opt_d": opt_d,
             "rng": rng,
             "iteration": state["iteration"] + 1,
+            "ada": ada_state,
         }
         return new_state, metrics
 
