@@ -1,0 +1,79 @@
+"""Checkpoint-sweep FID driver CLI (mirrors fid/load_mnist_model_and_fid_it
+.py and fid/load_cifar_model_and_fid_it.py).
+
+Scores every generator checkpoint in a trial directory against real-data
+statistics, writing an incremental fid_score.json.  The growth schedule is
+reconstructed from the trial's train_config_*.json.
+
+Example:
+    python -m pgx.cli.fid_sweep --trial trial_mnist_.../ --dataset mnist \
+        --path /data/mnist --num-samples 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from pgx import checkpoint as ckpt
+from pgx.data import load_cifar10, load_mnist, synthetic_dataset
+from pgx.eval import load_torch_weights, make_extractor, sweep_trial
+from pgx.train.schedule import schedule_from_dict
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--trial", required=True, help="trial directory")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["mnist", "cifar10", "synthetic"])
+    p.add_argument("--path", default=None, help="dataset root")
+    p.add_argument("--num-samples", type=int, default=2000)
+    p.add_argument("--num-real", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--inception-weights", default=None,
+                   help="torch state_dict file for the FID InceptionV3; "
+                        "random init if absent (pipeline testing only)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = ckpt.load_config(args.trial)
+    if "schedule" not in cfg:
+        raise SystemExit("trial config lacks a schedule block; re-run "
+                         "training with this version or pass a schedule")
+    schedule = schedule_from_dict(cfg["schedule"])
+
+    if args.dataset == "mnist":
+        dataset = load_mnist(args.path)
+    elif args.dataset == "cifar10":
+        dataset = load_cifar10(args.path)
+    else:
+        gcfg_d = cfg["generator"]
+        dataset = synthetic_dataset(
+            n=max(args.num_real, 256),
+            size=32, channels=gcfg_d.get("img_channels", 3), seed=args.seed)
+
+    rng = np.random.RandomState(args.seed)
+    images = dataset.at_resolution(dataset.images.shape[1])
+    idx = rng.choice(len(images), min(args.num_real, len(images)),
+                     replace=False)
+    real = images[idx]
+
+    params = (load_torch_weights(args.inception_weights)
+              if args.inception_weights else None)
+    if params is None:
+        print("WARNING: no inception weights given — using random init; "
+              "scores are NOT comparable to published FID", flush=True)
+    extractor = make_extractor(params=params)
+
+    scores = sweep_trial(args.trial, schedule, real,
+                         num_samples=args.num_samples,
+                         batch_size=args.batch_size, extractor=extractor)
+    best = min(scores.items(), key=lambda kv: kv[1]) if scores else None
+    if best:
+        print(f"best: {best[0]} FID={best[1]:.2f}")
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,7 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._iterator = iterator
         self._stop = threading.Event()
+        self._error = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -86,6 +87,8 @@ class DevicePrefetcher:
                 if self._stop.is_set():
                     return
                 self._q.put(self._put(batch))
+        except BaseException as exc:  # surface in the consumer thread
+            self._error = exc
         finally:
             self._q.put(self._SENTINEL)
 
@@ -95,6 +98,9 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._SENTINEL:
+            if self._error is not None:
+                raise RuntimeError(
+                    "DevicePrefetcher worker failed") from self._error
             raise StopIteration
         return item
 

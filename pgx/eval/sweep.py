@@ -1,0 +1,126 @@
+"""Checkpoint-sweep FID driver (mirrors fid/load_mnist_model_and_fid_it.py
+and fid/load_cifar_model_and_fid_it.py).
+
+For every ``{iter}_g.model`` checkpoint in a trial dir: reconstruct
+(step, alpha) from the iteration index via the growth schedule (the
+reference's arithmetic, :94-100), generate N samples in batches from the EMA
+generator, score FID against real-data statistics, and append to an
+incremental ``fid_score.json`` that skips already-scored checkpoints
+(:38-46, :86-87).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgx import checkpoint as ckpt
+from pgx.eval.fid import (calculate_activation_statistics,
+                          calculate_frechet_distance, make_extractor)
+from pgx.models.generator import generator_apply
+
+
+def load_fid_scores(trial_dir: str) -> dict:
+    path = os.path.join(trial_dir, "fid_score.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def append_fid_score(trial_dir: str, name: str, score: float) -> None:
+    scores = load_fid_scores(trial_dir)
+    scores[name] = score
+    with open(os.path.join(trial_dir, "fid_score.json"), "w") as f:
+        json.dump(scores, f, indent=2)
+
+
+def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
+                     num_samples: int, batch_size: int = 50, seed: int = 0,
+                     num_classes: int = 0) -> np.ndarray:
+    """Batched EMA-generator sampling (reference :103-113); returns float32
+    NHWC outputs (pre-squash — the FID preprocessing applies the reference's
+    tanh quirk)."""
+    gen = jax.jit(lambda p, z, lab: generator_apply(
+        p, gcfg, z, lab, step=step, alpha=alpha, fading=fading))
+    rng = np.random.RandomState(seed)
+    outs = []
+    done = 0
+    while done < num_samples:
+        b = min(batch_size, num_samples - done)
+        z = jnp.asarray(rng.randn(b, gcfg.z_dim).astype(np.float32))
+        lab = (jnp.asarray(rng.randint(0, num_classes, b))
+               if num_classes else None)
+        outs.append(np.asarray(gen(params, z, lab), np.float32))
+        done += b
+    return np.concatenate(outs)
+
+
+def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
+                num_samples: int = 2000, batch_size: int = 50,
+                extractor: Optional[Callable] = None,
+                verbose: bool = True) -> dict:
+    """Score every unscored G checkpoint in a trial dir against real_data."""
+    cfg = ckpt.load_config(trial_dir)
+    gcfg, _, _ = ckpt.configs_from_dict(cfg)
+    if extractor is None:
+        extractor = make_extractor()
+
+    mu_r, sig_r = calculate_activation_statistics(real_data, extractor,
+                                                  batch_size)
+    scores = load_fid_scores(trial_dir)
+    for path in ckpt.list_checkpoints(trial_dir, "g"):
+        name = os.path.basename(path)
+        if name in scores:
+            continue
+        iteration = ckpt.checkpoint_iteration(path)
+        st = schedule.state_at(max(iteration - 1, 0))
+        params = ckpt.load_params(path)
+        samples = generate_samples(
+            params, gcfg, step=st.step, alpha=st.alpha, fading=st.fading,
+            num_samples=num_samples, batch_size=batch_size,
+            num_classes=gcfg.num_classes if gcfg.conditioning != "none"
+            else 0)
+        mu_g, sig_g = calculate_activation_statistics(samples, extractor,
+                                                      batch_size)
+        fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
+        scores[name] = fid
+        append_fid_score(trial_dir, name, fid)
+        if verbose:
+            print(f"{name}: step={st.step} alpha={st.alpha:.2f} "
+                  f"FID={fid:.2f}", flush=True)
+    return scores
+
+
+def precompute_real_statistics(dataset, sizes, out_dir: str,
+                               samples_per_size: int = 10000,
+                               extractor: Optional[Callable] = None,
+                               batch_size: int = 50, seed: int = 0,
+                               prefix: str = "") -> None:
+    """Per-resolution real-data (mu, sigma) precompute
+    (fid/get_wikiart_original_scores.py:31-72), saved as {size}_stats.npz."""
+    if extractor is None:
+        extractor = make_extractor()
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for size in sizes:
+        images = dataset.at_resolution(size)
+        idx = rng.choice(len(images), min(samples_per_size, len(images)),
+                         replace=False)
+        mu, sigma = calculate_activation_statistics(images[idx], extractor,
+                                                    batch_size)
+        with open(os.path.join(out_dir, f"{prefix}{size}_stats.npz"),
+                  "wb") as f:
+            np.savez(f, mu=mu, sigma=sigma)
+
+
+def load_real_statistics(out_dir: str, size: int, prefix: str = ""):
+    """(mu, sigma) loader (get_original_statistics, same file :13-19)."""
+    with np.load(os.path.join(out_dir, f"{prefix}{size}_stats.npz")) as d:
+        return d["mu"], d["sigma"]

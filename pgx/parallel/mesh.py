@@ -23,6 +23,15 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Largest device prefix that evenly divides the global batch."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -4,6 +4,8 @@ from pgx.train.schedule import (  # noqa: F401
     LegacySchedule,
     ProperSchedule,
     ScheduleState,
+    schedule_from_dict,
+    schedule_to_dict,
 )
 from pgx.train.wgan import (  # noqa: F401
     TrainConfig,

@@ -30,7 +30,7 @@ from pgx import checkpoint as ckpt
 from pgx.data.pipeline import DevicePrefetcher, array_batches
 from pgx.models.config import DiscriminatorConfig, GeneratorConfig
 from pgx.models.generator import generator_apply
-from pgx.parallel import make_mesh, replicate
+from pgx.parallel import make_mesh_for_batch, replicate
 from pgx.train.wgan import TrainConfig, init_train_state, make_train_step
 from pgx.utils.png import save_image_grid
 
@@ -84,7 +84,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     """Run training; returns the trial directory path.  ``augment_cfg`` /
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
-    mesh = make_mesh() if loop_cfg.use_mesh else None
+    mesh = (make_mesh_for_batch(loop_cfg.batch_size)
+            if loop_cfg.use_mesh else None)
 
     key = jax.random.PRNGKey(loop_cfg.seed)
     state = init_train_state(key, gcfg, dcfg, tc)
@@ -115,9 +116,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             state["iteration"] = jnp.asarray(start_iter, jnp.int32)
     else:
         trial_dir, postfix = make_trial_dir(loop_cfg)
+        from pgx.train.schedule import schedule_to_dict
         ckpt.save_config(trial_dir, gcfg, dcfg, tc,
                          extra={"batch_size": loop_cfg.batch_size,
-                                "seed": loop_cfg.seed},
+                                "seed": loop_cfg.seed,
+                                "schedule": schedule_to_dict(schedule)},
                          postfix=postfix)
 
     log_path = os.path.join(trial_dir, f"train_log_{postfix}.txt")

@@ -96,3 +96,29 @@ class ProperSchedule:
         else:
             total = 2 * self.ips * (self.max_step - self.init_step + 1)
         return total + tail
+
+
+def schedule_to_dict(schedule) -> dict:
+    """JSON-serializable schedule description (stored in the trial config so
+    FID sweeps / resume can re-derive (step, alpha) per iteration)."""
+    if isinstance(schedule, LegacySchedule):
+        return {"kind": "legacy", "total_iter": schedule.total_iter,
+                "max_step": schedule.max_step,
+                "init_step": schedule.init_step}
+    if isinstance(schedule, ProperSchedule):
+        return {"kind": "proper",
+                "images_seen_per_mini_step": schedule.ips,
+                "batch_size": 1,  # ips already divided
+                "max_step": schedule.max_step,
+                "init_step": schedule.init_step}
+    raise TypeError(type(schedule))
+
+
+def schedule_from_dict(d: dict):
+    if d["kind"] == "legacy":
+        return LegacySchedule(d["total_iter"], d["max_step"], d["init_step"])
+    if d["kind"] == "proper":
+        return ProperSchedule(d["images_seen_per_mini_step"],
+                              d.get("batch_size", 1), d["max_step"],
+                              d["init_step"])
+    raise ValueError(d["kind"])
