@@ -1,0 +1,184 @@
+"""Host-side dataset preparation tools (reference data/ directory, SURVEY.md
+section 2.7 / L7).
+
+* content-aware square crop — the reference scores sliding windows by SIFT
+  keypoint magnitude (data/cut_to_square.py:63-103, cv2).  cv2 isn't in this
+  image, so the default saliency is Sobel gradient energy (same mechanism:
+  slide a square window, keep the highest-scoring crop); a cv2-SIFT scorer is
+  used automatically when cv2 is importable.
+* face-centered crop — the reference uses MTCNN (data/face_detection_tests
+  .py); without a detector available we accept an externally supplied center
+  point (cut_based_on_point semantics, :86-109) and fall back to the
+  content-aware crop.
+* metadata CSV builder (data/create_metadata.py): filename,category,size.
+* filename sanitizer (data/rename_images.py): strips '&#;?'.
+* checkpoint unloader (data/checkpoint_unloader.py): unzip archives into
+  flat checkpoint/ and drop non-model files.
+* robust image loading with a fallback chain (data/utils.py:10-21 uses
+  pyvips -> PIL -> cv2; here PIL -> cv2).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import zipfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def load_image(path: str, dtype=np.uint8) -> np.ndarray:
+    """Image loading with fallback chain (PIL, then cv2 if present)."""
+    try:
+        from PIL import Image
+        im = Image.open(path)
+        im.load()
+        return np.asarray(im.convert("RGB"), dtype)
+    except Exception:
+        import cv2  # may raise ImportError; that's the end of the chain
+        img = cv2.imread(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(dtype)
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+    Image.fromarray(img).save(path)
+
+
+def _sobel_energy(gray: np.ndarray) -> np.ndarray:
+    gx = np.zeros_like(gray)
+    gy = np.zeros_like(gray)
+    gx[:, 1:-1] = gray[:, 2:] - gray[:, :-2]
+    gy[1:-1, :] = gray[2:, :] - gray[:-2, :]
+    return np.abs(gx) + np.abs(gy)
+
+
+def _saliency(img: np.ndarray) -> np.ndarray:
+    """Per-pixel saliency: SIFT keypoint responses when cv2 is available
+    (reference scorer), Sobel gradient energy otherwise."""
+    try:
+        import cv2
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        sift = cv2.SIFT_create()
+        kps = sift.detect(gray, None)
+        sal = np.zeros(gray.shape, np.float64)
+        for kp in kps:
+            x, y = int(kp.pt[0]), int(kp.pt[1])
+            sal[y, x] += kp.response
+        if sal.sum() > 0:
+            return sal
+        # no keypoints (flat/synthetic content): fall through to gradients
+    except Exception:
+        pass
+    gray = img.astype(np.float64).mean(axis=-1)
+    return _sobel_energy(gray)
+
+
+def best_square_window(img: np.ndarray, stride: Optional[int] = None
+                       ) -> Tuple[int, int, int]:
+    """Slide a max-square window along the long axis and return
+    (y0, x0, size) of the highest-saliency crop (cut_to_square.py:63-103)."""
+    h, w = img.shape[:2]
+    size = min(h, w)
+    sal = _saliency(img)
+    # integral image for O(1) window sums
+    integral = np.zeros((h + 1, w + 1), np.float64)
+    integral[1:, 1:] = np.cumsum(np.cumsum(sal, 0), 1)
+
+    def window_sum(y0, x0):
+        return (integral[y0 + size, x0 + size] - integral[y0, x0 + size]
+                - integral[y0 + size, x0] + integral[y0, x0])
+
+    stride = stride or max(1, size // 32)
+    best, best_score = (0, 0), -1.0
+    if h >= w:
+        for y0 in range(0, h - size + 1, stride):
+            s = window_sum(y0, 0)
+            if s > best_score:
+                best, best_score = (y0, 0), s
+    else:
+        for x0 in range(0, w - size + 1, stride):
+            s = window_sum(0, x0)
+            if s > best_score:
+                best, best_score = (0, x0), s
+    return best[0], best[1], size
+
+
+def cut_to_square(img: np.ndarray) -> np.ndarray:
+    """Content-aware square crop."""
+    y0, x0, size = best_square_window(img)
+    return img[y0:y0 + size, x0:x0 + size]
+
+
+def cut_based_on_point(img: np.ndarray, cx: int, cy: int) -> np.ndarray:
+    """Square crop centered (as much as bounds allow) on a point — the
+    face-crop geometry (face_detection_tests.py:86-109); the point comes
+    from any external detector."""
+    h, w = img.shape[:2]
+    size = min(h, w)
+    y0 = int(np.clip(cy - size // 2, 0, h - size))
+    x0 = int(np.clip(cx - size // 2, 0, w - size))
+    return img[y0:y0 + size, x0:x0 + size]
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def create_metadata(image_root: str, out_csv: str) -> int:
+    """Build data_info.csv with filename,category,size per image
+    (data/create_metadata.py:7-30); category = subdirectory name,
+    size = min(height, width)."""
+    from PIL import Image
+    rows = 0
+    with open(out_csv, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["filename", "category",
+                                               "size"])
+        writer.writeheader()
+        for cat in sorted(os.listdir(image_root)):
+            cat_dir = os.path.join(image_root, cat)
+            if not os.path.isdir(cat_dir):
+                continue
+            for name in sorted(os.listdir(cat_dir)):
+                if not name.lower().endswith(_IMG_EXTS):
+                    continue
+                with Image.open(os.path.join(cat_dir, name)) as im:
+                    size = min(im.size)
+                writer.writerow({"filename": os.path.join(cat, name),
+                                 "category": cat, "size": size})
+                rows += 1
+    return rows
+
+
+def rename_images(root: str, bad_chars: str = "&#;?") -> int:
+    """Strip problem characters from filenames (data/rename_images.py)."""
+    renamed = 0
+    for dirpath, _, names in os.walk(root):
+        for name in names:
+            clean = "".join(ch for ch in name if ch not in bad_chars)
+            if clean != name:
+                os.rename(os.path.join(dirpath, name),
+                          os.path.join(dirpath, clean))
+                renamed += 1
+    return renamed
+
+
+def unload_checkpoints(archive_dir: str, out_dir: str) -> int:
+    """Unzip checkpoint archives into a flat checkpoint/ dir and drop
+    non-model files (data/checkpoint_unloader.py:6-31)."""
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    extracted = 0
+    for name in sorted(os.listdir(archive_dir)):
+        if not name.endswith(".zip"):
+            continue
+        with zipfile.ZipFile(os.path.join(archive_dir, name)) as zf:
+            for member in zf.namelist():
+                base = os.path.basename(member)
+                if not base or not base.endswith(".model"):
+                    continue
+                with zf.open(member) as src, \
+                        open(os.path.join(ckpt_dir, base), "wb") as dst:
+                    dst.write(src.read())
+                extracted += 1
+    return extracted

@@ -1,0 +1,104 @@
+"""Tools: gif builder, grower CLI, data prep, augmentation demo."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from pgx.data import prep
+
+
+def _fake_trial(tmp_path, with_samples=True):
+    """Train a micro trial to produce real artifacts."""
+    from pgx.data import synthetic_dataset
+    from pgx.models import zoo
+    from pgx.train import LegacySchedule, TrainConfig
+    from pgx.train.loop import LoopConfig, train_loop
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    schedule = LegacySchedule(8, 2, 1)
+    dataset = synthetic_dataset(n=32, size=16, channels=1, seed=0)
+    loop_cfg = LoopConfig(trial_name="tools", main_path=str(tmp_path),
+                          batch_size=4, sample_every=4, checkpoint_every=6,
+                          log_every=100, verbose=False, total_iterations=12)
+    trial = train_loop(gcfg, dcfg, TrainConfig(), schedule, dataset,
+                       loop_cfg)
+    return trial, schedule
+
+
+def test_gif_builder(tmp_path):
+    from pgx.utils.gif import build_training_gif
+
+    trial, schedule = _fake_trial(tmp_path)
+    out = build_training_gif(trial, schedule, rows=5, cols=10, cell_size=24)
+    assert os.path.exists(out)
+    from PIL import Image
+    im = Image.open(out)
+    assert im.format == "GIF"
+    im.seek(1)  # at least two frames
+
+
+def test_grow_checkpoint_cli(tmp_path):
+    from pgx.cli.grow_checkpoint import main
+
+    trial, _ = _fake_trial(tmp_path)
+    out = main(["--trial", trial, "--target-channels", "8,8,8,8,8",
+                "--target-max-step", "4", "--check-step", "1"])
+    from pgx import checkpoint as ckpt
+    grown = ckpt.latest_checkpoint(out, "g")
+    assert grown is not None
+    params = ckpt.load_params(grown)
+    assert "64" in params["blocks"]  # the new 64px stage exists
+
+
+def test_cut_to_square_prefers_salient_region():
+    img = np.zeros((40, 120, 3), np.uint8)
+    img[:, 90:110] = 255  # high-gradient block on the right
+    crop = prep.cut_to_square(img)
+    assert crop.shape == (40, 40, 3)
+    assert crop.max() == 255  # window landed on the salient region
+
+
+def test_cut_based_on_point_clamps():
+    img = np.arange(30 * 50 * 3, dtype=np.uint8).reshape(30, 50, 3)
+    crop = prep.cut_based_on_point(img, cx=2, cy=2)
+    assert crop.shape == (30, 30, 3)
+    np.testing.assert_array_equal(crop, img[:, :30])
+
+
+def test_metadata_and_rename(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    for cat, size in [("a", 20), ("b", 36)]:
+        os.makedirs(root / cat)
+        Image.new("RGB", (size, size + 4)).save(root / cat / "x&y#1.png")
+    n = prep.rename_images(str(root))
+    assert n == 2
+    assert os.path.exists(root / "a" / "xy1.png")
+    rows = prep.create_metadata(str(root), str(tmp_path / "info.csv"))
+    assert rows == 2
+    text = open(tmp_path / "info.csv").read()
+    assert "a/xy1.png,a,20" in text.replace("\\", "/")
+
+
+def test_unload_checkpoints(tmp_path):
+    arch = tmp_path / "arch"
+    os.makedirs(arch)
+    with zipfile.ZipFile(arch / "ckpt.zip", "w") as zf:
+        zf.writestr("some/dir/010_g.model", b"weights")
+        zf.writestr("some/dir/log.txt", b"junk")
+    n = prep.unload_checkpoints(str(arch), str(tmp_path / "out"))
+    assert n == 1
+    assert os.path.exists(tmp_path / "out" / "checkpoint" / "010_g.model")
+
+
+def test_augmentation_demo_cli(tmp_path):
+    from pgx.cli.augmentation_demo import main
+
+    out = str(tmp_path / "aug.png")
+    main(["--synthetic", "--out", out, "--rows", "3", "--cols", "3",
+          "--size", "16"])
+    assert os.path.exists(out)
