@@ -1,5 +1,6 @@
 """Mesh/sharding helpers and distributed training stats."""
 
+from pgx.parallel import stats  # noqa: F401
 from pgx.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
@@ -7,4 +8,11 @@ from pgx.parallel.mesh import (  # noqa: F401
     replicate,
     replicated,
     shard_batch,
+)
+from pgx.parallel.stats import (  # noqa: F401
+    Collector,
+    check_replica_consistency,
+    init_moments,
+    psum_moments,
+    report,
 )

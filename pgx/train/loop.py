@@ -51,6 +51,7 @@ class LoopConfig:
     keep_full_state: bool = True
     use_mesh: bool = True
     verbose: bool = True
+    snapshot_sources: bool = True   # train.py:87-89 source snapshot
 
 
 def make_trial_dir(loop_cfg: LoopConfig) -> Tuple[str, str]:
@@ -122,6 +123,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                 "seed": loop_cfg.seed,
                                 "schedule": schedule_to_dict(schedule)},
                          postfix=postfix)
+        if loop_cfg.snapshot_sources:
+            from pgx.utils.persistence import snapshot_sources
+            snapshot_sources(trial_dir)
 
     log_path = os.path.join(trial_dir, f"train_log_{postfix}.txt")
     if not os.path.exists(log_path):

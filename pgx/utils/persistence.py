@@ -1,0 +1,68 @@
+"""Checkpoint longevity (the role of ada/torch_utils/persistence.py).
+
+The reference pickles class *source code* alongside objects so checkpoints
+outlive code changes (:35-147).  pgx checkpoints are already code-free
+(framework-neutral npz arrays + a JSON config that fully reconstructs the
+model), so the remaining capability is source snapshotting: copy the pgx
+package sources into the trial dir at training start (the reference's
+train.py:87-89 snapshots its scripts the same way) and record a manifest
+with content hashes so any trial can be reproduced bit-for-bit with the
+exact code that produced it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Dict
+
+
+def snapshot_sources(trial_dir: str, package_root: str = None) -> str:
+    """Copy the pgx sources into ``trial_dir/src_snapshot`` and write a
+    manifest of sha256 content hashes; returns the manifest path."""
+    import pgx
+    package_root = package_root or os.path.dirname(os.path.abspath(
+        pgx.__file__))
+    dst_root = os.path.join(trial_dir, "src_snapshot", "pgx")
+    manifest: Dict[str, str] = {}
+    for dirpath, _, names in os.walk(package_root):
+        if "__pycache__" in dirpath:
+            continue
+        rel = os.path.relpath(dirpath, package_root)
+        for name in sorted(names):
+            if not name.endswith(".py"):
+                continue
+            src = os.path.join(dirpath, name)
+            rel_path = os.path.normpath(os.path.join(rel, name))
+            dst = os.path.join(dst_root, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            with open(src, "rb") as f:
+                manifest[rel_path.replace(os.sep, "/")] = hashlib.sha256(
+                    f.read()).hexdigest()
+    path = os.path.join(trial_dir, "src_snapshot", "MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return path
+
+
+def verify_snapshot(trial_dir: str) -> Dict[str, str]:
+    """Compare the snapshot manifest against the currently-importable pgx;
+    returns {relpath: 'changed'|'missing'} for any drift (empty == clean)."""
+    import pgx
+    package_root = os.path.dirname(os.path.abspath(pgx.__file__))
+    with open(os.path.join(trial_dir, "src_snapshot",
+                           "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    drift: Dict[str, str] = {}
+    for rel, digest in manifest.items():
+        src = os.path.join(package_root, rel)
+        if not os.path.exists(src):
+            drift[rel] = "missing"
+            continue
+        with open(src, "rb") as f:
+            if hashlib.sha256(f.read()).hexdigest() != digest:
+                drift[rel] = "changed"
+    return drift

@@ -1,0 +1,109 @@
+"""Infra utilities: training stats, misc helpers, source persistence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgx.parallel import stats
+from pgx.utils import misc, persistence
+
+
+def test_moments_mean_std():
+    m = stats.init_moments()
+    rng = np.random.RandomState(0)
+    xs = rng.randn(1000).astype(np.float32) * 2 + 3
+    m = stats.report(m, jnp.asarray(xs[:500]))
+    m = stats.report(m, jnp.asarray(xs[500:]))
+    np.testing.assert_allclose(stats.mean(m), xs.mean(), rtol=1e-4)
+    np.testing.assert_allclose(stats.std(m), xs.std(), rtol=1e-3)
+
+
+def test_collector_windows():
+    c = stats.Collector()
+    m = stats.report(stats.init_moments(), jnp.asarray([1.0, 2.0, 3.0]))
+    c.update({"loss": m})
+    assert c.num("loss") == 3
+    np.testing.assert_allclose(c.mean("loss"), 2.0)
+    # next window only sees the delta
+    m = stats.report(m, jnp.asarray([10.0]))
+    c.update({"loss": m})
+    assert c.num("loss") == 1
+    np.testing.assert_allclose(c.mean("loss"), 10.0)
+
+
+def test_psum_moments_under_shard_map():
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    x = jnp.arange(16.0)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+    def collect(xs):
+        return stats.psum_moments(stats.report(stats.init_moments(), xs),
+                                  "data")
+
+    m = collect(x)
+    np.testing.assert_allclose(stats.mean(m), x.mean(), rtol=1e-6)
+
+
+def test_replica_consistency_check():
+    from pgx.parallel import make_mesh, replicate
+
+    mesh = make_mesh()
+    tree = {"w": jnp.arange(8.0)}
+    rep = replicate(mesh, tree)
+    stats.check_replica_consistency(rep)  # should not raise
+
+
+def test_constant_cached():
+    a = misc.constant([1.0, 2.0])
+    b = misc.constant([1.0, 2.0])
+    assert a is b
+    np.testing.assert_array_equal(np.asarray(a), [1.0, 2.0])
+
+
+def test_assert_shape():
+    x = jnp.zeros((2, 3, 4))
+    misc.assert_shape(x, (2, None, 4))
+    with pytest.raises(AssertionError):
+        misc.assert_shape(x, (2, 3, 5))
+    with pytest.raises(AssertionError):
+        misc.assert_shape(x, (2, 3))
+
+
+def test_infinite_sampler_disjoint_ranks():
+    n = 10
+    s0 = misc.InfiniteSampler(n, rank=0, num_replicas=2, seed=1)
+    s1 = misc.InfiniteSampler(n, rank=1, num_replicas=2, seed=1)
+    it0, it1 = iter(s0), iter(s1)
+    a = [next(it0) for _ in range(50)]
+    b = [next(it1) for _ in range(50)]
+    assert all(0 <= i < n for i in a + b)
+    # both ranks together cover the dataset
+    assert set(a) | set(b) == set(range(n))
+
+
+def test_copy_params_and_summary(capsys):
+    src = {"a": {"w": jnp.ones((2, 2))}, "b": jnp.zeros((3,))}
+    dst = {"a": {"w": jnp.zeros((2, 2))}, "b": jnp.ones((3,)),
+           "c": jnp.ones((1,))}
+    out = misc.copy_params(src, dst, require_all=False)
+    np.testing.assert_array_equal(np.asarray(out["a"]["w"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(out["c"]), np.ones((1,)))
+    text = misc.print_param_summary(out, "test")
+    assert "total" in text
+    assert "4" in text  # 2x2 leaf count present
+
+
+def test_source_snapshot_roundtrip(tmp_path):
+    manifest = persistence.snapshot_sources(str(tmp_path))
+    import json
+    with open(manifest) as f:
+        m = json.load(f)
+    assert "core/layers.py" in m
+    assert persistence.verify_snapshot(str(tmp_path)) == {}
