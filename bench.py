@@ -33,9 +33,9 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
     res = 128
-    real = jnp.asarray(
-        np.random.RandomState(0).randn(batch_size, res, res, 3)
-        .astype(np.float32))
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(batch_size, res, res, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, gcfg.num_classes, batch_size))
     alpha = jnp.float32(1.0)
 
     train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading)
@@ -44,15 +44,15 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     # block_until_ready() returns before remote execution completes; only a
     # host fetch forces completion, so we time N chained steps and fetch one
     # scalar at the end (the state dependency chain serializes the steps).
-    state, metrics = train_step(state, real, None, alpha)
+    state, metrics = train_step(state, real, labels, alpha)
     float(metrics["d_total"])
     for _ in range(2):
-        state, metrics = train_step(state, real, None, alpha)
+        state, metrics = train_step(state, real, labels, alpha)
     float(metrics["d_total"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = train_step(state, real, None, alpha)
+        state, metrics = train_step(state, real, labels, alpha)
     float(metrics["d_total"])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt, metrics
@@ -79,7 +79,7 @@ def main():
             vs = ips / ref_ips
 
     print(json.dumps({
-        "metric": "images_per_sec_per_chip_128px_gd_step",
+        "metric": "images_per_sec_per_chip_128px_cond_gd_step",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -21,7 +21,12 @@ from pgx.data.datasets import ArrayDataset, ImageFolderDataset
 
 
 def normalize_to_unit(images_u8: np.ndarray) -> np.ndarray:
-    """uint8 [0,255] -> float32 [-1, 1] (Normalize(0.5, 0.5), train.py:44-46)."""
+    """uint8 [0,255] -> float32 [-1, 1] (Normalize(0.5, 0.5), train.py:44-46).
+
+    Uses the C++ runtime when available (pgx.native), numpy otherwise."""
+    if images_u8.dtype == np.uint8:
+        from pgx.native import normalize_u8
+        return normalize_u8(images_u8)
     return images_u8.astype(np.float32) / 127.5 - 1.0
 
 
@@ -32,13 +37,15 @@ def array_batches(dataset: ArrayDataset, batch_size: int, resolution: int,
     reference's rebuilt DataLoader per stage)."""
     images = dataset.at_resolution(resolution)
     labels = dataset.labels
+    from pgx.native import gather_normalize
     rng = np.random.RandomState(seed)
     n = len(images)
     while True:
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start:start + batch_size]
-            yield (normalize_to_unit(images[idx]),
+            # fused C++ gather+normalize when the native runtime is built
+            yield (gather_normalize(images, idx),
                    labels[idx] if labels is not None else None)
 
 

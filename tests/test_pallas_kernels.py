@@ -1,0 +1,96 @@
+"""Pallas kernels vs the lax reference path (interpret mode on CPU) — the
+same dual-implementation strategy the reference uses for its CUDA kernels."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgx.ops.bias_act import bias_act
+from pgx.ops.upfirdn2d import setup_filter, upfirdn2d
+
+# run every pallas_call in interpreter mode on the CPU test backend
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import pgx.ops.pallas.kernels as K
+    monkeypatch.setattr(K.pl, "pallas_call", patched)
+    yield
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, 0), (1, 1, 3), (1, 2, 1), (2, 1, 0), (2, 1, 2), (2, 2, 1),
+    (1, 2, (2, 1, 1, 2)), (2, 1, (1, 3, 2, 0)),
+])
+def test_upfirdn2d_pallas_matches_lax(up, down, pad):
+    from pgx.ops.pallas.kernels import upfirdn2d_pallas
+
+    x = jnp.asarray(_rand((2, 8, 8, 3), seed=up * 7 + down))
+    f = np.asarray(setup_filter([1, 3, 3, 1], separable=True))
+    assert f.ndim == 1
+    want = np.asarray(upfirdn2d(x, jnp.asarray(f), up=up, down=down,
+                                padding=pad, gain=1.5))
+    got = np.asarray(upfirdn2d_pallas(x, f, up=up, down=down, padding=pad,
+                                      gain=1.5))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_upfirdn2d_pallas_sym6_roundtrip():
+    """The exact calls the ADA geometric path makes: sym6 up-2 then down-2."""
+    from pgx.augment.pipe import WAVELETS
+    from pgx.ops.pallas.kernels import upfirdn2d_pallas
+    from pgx.ops.upfirdn2d import downsample2d, upsample2d
+
+    f = np.asarray(setup_filter(WAVELETS["sym6"], separable=True))
+    x = jnp.asarray(_rand((1, 12, 12, 2), seed=3))
+
+    want_up = np.asarray(upsample2d(x, jnp.asarray(f)))
+    got_up = np.asarray(upfirdn2d_pallas(
+        x, f, up=2,
+        padding=((len(f) + 1) // 2, (len(f) - 2) // 2,
+                 (len(f) + 1) // 2, (len(f) - 2) // 2), gain=4))
+    np.testing.assert_allclose(got_up, want_up, rtol=1e-4, atol=1e-5)
+
+    want_dn = np.asarray(downsample2d(x, jnp.asarray(f)))
+    got_dn = np.asarray(upfirdn2d_pallas(
+        x, f, down=2,
+        padding=((len(f) - 1) // 2, (len(f) - 2) // 2,
+                 (len(f) - 1) // 2, (len(f) - 2) // 2)))
+    np.testing.assert_allclose(got_dn, want_dn, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", ["linear", "lrelu", "tanh", "swish"])
+def test_bias_act_pallas_matches(act):
+    from pgx.ops.pallas.kernels import bias_act_pallas
+
+    x = jnp.asarray(_rand((2, 5, 5, 7), seed=11))
+    b = jnp.asarray(_rand((7,), seed=12))
+    want = np.asarray(bias_act(x, b, act=act, clamp=1.5))
+    got = np.asarray(bias_act_pallas(x, b, act=act, clamp=1.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pixel_norm_lrelu_pallas_matches():
+    from pgx.core import leaky_relu, pixel_norm
+    from pgx.ops.pallas.kernels import pixel_norm_lrelu_pallas
+
+    x = jnp.asarray(_rand((3, 4, 4, 24), seed=21))
+    want = np.asarray(leaky_relu(pixel_norm(x), 0.2))
+    got = np.asarray(pixel_norm_lrelu_pallas(x, slope=0.2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
