@@ -21,7 +21,7 @@ import numpy as np
 
 
 def bench_train_step(batch_size: int, dtype: str, steps: int,
-                     fading: bool = False):
+                     fading: bool = False, gp_every: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +29,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     from pgx.train import TrainConfig, init_train_state, make_train_step
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
-    tc = TrainConfig()
+    tc = TrainConfig(gp_every=gp_every)
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
     res = 128
@@ -39,6 +39,8 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     alpha = jnp.float32(1.0)
 
     train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading)
+    nogp_step = (make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+                                 apply_gp=False) if gp_every > 1 else None)
 
     # compile + warmup.  NOTE: on the axon-relay TPU platform
     # block_until_ready() returns before remote execution completes; only a
@@ -50,9 +52,15 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
         state, metrics = train_step(state, real, labels, alpha)
     float(metrics["d_total"])
 
+    if nogp_step is not None:
+        state, metrics = nogp_step(state, real, labels, alpha)
+        float(metrics["d_total"])
+
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, real, labels, alpha)
+    for i in range(steps):
+        fn = (train_step if (nogp_step is None or i % gp_every == 0)
+              else nogp_step)
+        state, metrics = fn(state, real, labels, alpha)
     float(metrics["d_total"])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt, metrics
@@ -64,9 +72,12 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--gp-every", type=int, default=1,
+                   help="lazy GP interval (1 = reference-exact)")
     args = p.parse_args()
 
-    ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps)
+    ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps,
+                                    gp_every=args.gp_every)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -164,12 +164,13 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
             imgs, labels = next(prefetcher)
             update_g = (i + 1) % tc.n_critic == 0
-            fkey = (st.step, st.fading, update_g)
+            apply_gp = i % tc.gp_every == 0
+            fkey = (st.step, st.fading, update_g, apply_gp)
             if fkey not in step_cache:
                 step_cache[fkey] = make_train_step(
                     gcfg, dcfg, tc, step=st.step, fading=st.fading,
-                    update_g=update_g, augment_cfg=augment_cfg,
-                    ada_cfg=ada_cfg)
+                    update_g=update_g, apply_gp=apply_gp,
+                    augment_cfg=augment_cfg, ada_cfg=ada_cfg)
             state, metrics = step_cache[fkey](
                 state, imgs, labels, jnp.float32(st.alpha))
 

@@ -55,6 +55,9 @@ class TrainConfig:
     drift: float = 1e-3
     ema_decay: float = 0.999
     n_critic: int = 1
+    gp_every: int = 1      # lazy regularization: compute the gradient
+                           # penalty every N iterations with lambda scaled
+                           # by N (StyleGAN2-style; 1 == reference-exact)
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -92,7 +95,7 @@ def _ema_update(ema: Params, new: Params, decay: float) -> Params:
 
 def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     tc: TrainConfig, *, step: int, fading: bool,
-                    update_g: bool = True,
+                    update_g: bool = True, apply_gp: bool = True,
                     stddev_axis_name: Optional[str] = None,
                     augment_cfg: Optional[AugmentConfig] = None,
                     ada_cfg: Optional[AdaConfig] = None,
@@ -149,12 +152,17 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             fake_scores = d_fwd(pd, fake, lab, alpha)
             real_drifted = (jnp.mean(real_scores)
                             - tc.drift * jnp.mean(jnp.square(real_scores)))
-            grad_x = jax.grad(
-                lambda xh: jnp.sum(d_fwd(pd, xh, lab, alpha)))(x_hat)
-            acc = jnp.promote_types(grad_x.dtype, jnp.float32)
-            norms = jnp.sqrt(
-                jnp.sum(jnp.square(grad_x.astype(acc)), axis=(1, 2, 3)))
-            gp = tc.lambda_gp * jnp.mean(jnp.square(norms - 1.0))
+            if apply_gp:
+                grad_x = jax.grad(
+                    lambda xh: jnp.sum(d_fwd(pd, xh, lab, alpha)))(x_hat)
+                acc = jnp.promote_types(grad_x.dtype, jnp.float32)
+                norms = jnp.sqrt(
+                    jnp.sum(jnp.square(grad_x.astype(acc)), axis=(1, 2, 3)))
+                # lazy regularization scales lambda by the interval
+                gp = (tc.lambda_gp * tc.gp_every
+                      * jnp.mean(jnp.square(norms - 1.0)))
+            else:
+                gp = jnp.zeros((), jnp.float32)
             loss = -real_drifted + jnp.mean(fake_scores) + gp
             aux = {
                 "d_loss": real_drifted - jnp.mean(fake_scores),
