@@ -1,6 +1,11 @@
 """Mesh/sharding helpers and distributed training stats."""
 
 from pgx.parallel import stats  # noqa: F401
+from pgx.parallel.distributed import (  # noqa: F401
+    host_batch_slice,
+    initialize_multihost,
+    make_global_batch,
+)
 from pgx.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

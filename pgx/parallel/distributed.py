@@ -1,0 +1,60 @@
+"""Multi-host (DCN) initialization and input-sharding helpers.
+
+The reference never initializes a process group (SURVEY.md section 5.8);
+its vendored DDP plumbing maps onto JAX as:
+
+* ``torch.distributed.init_process_group``  -> ``initialize_multihost``
+  (jax.distributed.initialize; ICI collectives within a slice, DCN across
+  hosts are then implicit in GSPMD lowering);
+* rank-sharded ``InfiniteSampler``          -> ``host_batch_slice`` (each
+  host feeds its addressable shard of the global batch) together with
+  ``pgx.utils.misc.InfiniteSampler(rank, num_replicas)``;
+* ``check_ddp_consistency``                 -> ``pgx.parallel.stats.
+  check_replica_consistency``.
+
+Single-host slices (including this container's one chip) need none of this
+— ``make_mesh`` over ``jax.devices()`` is enough.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize cross-host JAX (no-op on a single process).
+
+    Returns (process_index, process_count).  On TPU pods the arguments are
+    auto-detected from the environment; pass them explicitly elsewhere.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def host_batch_slice(global_batch: int) -> Tuple[int, int, int]:
+    """(host_batch, start, end): this process's slice of the global batch
+    when each host assembles only its addressable shard."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by {n} hosts")
+    per = global_batch // n
+    start = jax.process_index() * per
+    return per, start, start + per
+
+
+def make_global_batch(mesh, host_arrays):
+    """Assemble a globally-sharded array from per-host shards
+    (jax.make_array_from_process_local_data wrapper)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a),
+        host_arrays)

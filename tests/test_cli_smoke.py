@@ -1,0 +1,77 @@
+"""Every training CLI runs a micro end-to-end pass on synthetic data.
+
+These are argv-level drives of the public script surface — they catch
+argument-wiring bugs (e.g. duplicate kwargs) that library tests miss.
+"""
+
+import os
+
+import pytest
+
+TINY = ["--synthetic", "--batch-size", "4", "--log-every", "100",
+        "--sample-every", "100", "--checkpoint-every", "100",
+        "--no-mesh", "--channels", "8", "--z-dim", "8"]
+
+
+def _run(main, tmp_path, extra):
+    trial = main(TINY + ["--output", str(tmp_path)] + extra)
+    assert os.path.isdir(trial)
+    assert os.listdir(os.path.join(trial, "checkpoint"))
+    return trial
+
+
+def test_cli_train(tmp_path):
+    from pgx.cli.train import main
+    _run(main, tmp_path, ["--total-iter", "4", "--max-step", "2"])
+
+
+def test_cli_mnist_train(tmp_path):
+    from pgx.cli.mnist_train import main
+    _run(main, tmp_path, ["--total-iter", "4", "--max-step", "2"])
+
+
+def test_cli_cifar_train(tmp_path):
+    from pgx.cli.cifar_train import main
+    _run(main, tmp_path, ["--total-iter", "4", "--max-step", "2"])
+
+
+def test_cli_proper_cifar_train(tmp_path):
+    from pgx.cli.proper_cifar_train import main
+    _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2"])
+
+
+def test_cli_conditional_mnist(tmp_path):
+    from pgx.cli.conditional_mnist_wgan_train import main
+    _run(main, tmp_path, ["--total-iter", "4", "--max-step", "2",
+                          "--num-classes", "3"])
+
+
+def test_cli_conditional_cifar10(tmp_path):
+    from pgx.cli.conditional_cifar10_wgan_train import main
+    _run(main, tmp_path, ["--total-iter", "4", "--max-step", "2",
+                          "--num-classes", "3"])
+
+
+def test_cli_conditional_proper_cifar_ada(tmp_path):
+    from pgx.cli.conditional_proper_cifar_train import main
+    _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
+                          "--num-classes", "3", "--ada",
+                          "--ada-length", "100"])
+
+
+def test_cli_conditional_proper_cifar_ada_heads(tmp_path):
+    from pgx.cli.conditional_proper_cifar_train import main
+    _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
+                          "--num-classes", "3", "--ada-heads"])
+
+
+def test_cli_wikiart_synthetic(tmp_path):
+    from pgx.cli.conditional_proper_wikiart import main
+    _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
+                          "--num-classes", "3"])
+
+
+def test_cli_equal_embed_variant(tmp_path):
+    from pgx.cli.conditional_proper_cifar_train import main
+    _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
+                          "--num-classes", "3", "--equal-embed"])
