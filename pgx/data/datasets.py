@@ -58,17 +58,26 @@ class ArrayDataset:
 
 def synthetic_dataset(n: int = 512, size: int = 32, channels: int = 3,
                       num_classes: int = 0, seed: int = 0) -> ArrayDataset:
-    """Deterministic structured noise (blobs), for tests and benchmarks."""
+    """Deterministic structured noise (blobs), for tests and benchmarks.
+
+    With ``num_classes`` the blob color is tied to the class, so class
+    conditioning is actually learnable from this data."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     imgs = np.empty((n, size, size, channels), np.uint8)
+    labels = rng.randint(0, num_classes, n) if num_classes else None
     for i in range(n):
         cx, cy, s = rng.rand(3)
         base = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (0.05 + 0.2 * s)))
-        img = base[:, :, None] * rng.rand(1, 1, channels)
+        if num_classes and channels == 3:
+            hue = 2 * np.pi * labels[i] / num_classes
+            color = 0.5 + 0.5 * np.cos(
+                hue + np.array([0.0, 2.1, 4.2], np.float32))
+        else:
+            color = rng.rand(channels)
+        img = base[:, :, None] * color.reshape(1, 1, channels)
         img += 0.1 * rng.rand(size, size, channels)
         imgs[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
-    labels = rng.randint(0, num_classes, n) if num_classes else None
     return ArrayDataset(imgs, labels, num_classes)
 
 

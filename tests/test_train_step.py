@@ -187,3 +187,50 @@ def test_ada_augmented_train_step():
     # statistic is negative, so p clamps at 0 — same as the reference)
     assert all(0.0 <= v <= 1.0 for v in p_vals)
     assert float(state["ada"]["count"]) < 4 * 8  # accumulator reset fired
+
+
+def test_gp_gradient_matches_finite_differences():
+    """SURVEY section 4(c): the nested-grad gradient-norm matches central
+    finite differences of D, and d(gp)/d(params) is consistent with a
+    directional finite difference — validating the double-backward."""
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8, dtype="float64")
+    dcfg = zoo.mnist_discriminator(feat_dim=8, dtype="float64")
+    dp = __import__("pgx.models", fromlist=["init_discriminator"])
+    params = dp.init_discriminator(jax.random.PRNGKey(0), dcfg)
+
+    from pgx.models import discriminator_apply
+
+    def d_sum(p, x):
+        return jnp.sum(discriminator_apply(p, dcfg, x, step=1, alpha=1.0))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1),
+                          jnp.float64)
+
+    # inner gradient vs central differences on a few coordinates
+    g = jax.grad(lambda xx: d_sum(params, xx))(x)
+    eps = 1e-6
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        i = tuple(rng.randint(0, s) for s in x.shape)
+        basis = jnp.zeros_like(x).at[i].set(eps)
+        fd = (d_sum(params, x + basis) - d_sum(params, x - basis)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4,
+                                   atol=1e-6)
+
+    # outer gradient (through the inner grad) vs a directional difference
+    def gp(p):
+        gx = jax.grad(lambda xx: d_sum(p, xx))(x)
+        norms = jnp.sqrt(jnp.sum(gx ** 2, axis=(1, 2, 3)))
+        return jnp.mean((norms - 1.0) ** 2)
+
+    ggp = jax.grad(gp)(params)
+    direction = jax.tree.map(
+        lambda a: jnp.asarray(np.random.RandomState(1).randn(*a.shape)),
+        params)
+    directional = sum(float(jnp.sum(a * b)) for a, b in
+                      zip(jax.tree.leaves(ggp), jax.tree.leaves(direction)))
+    h = 1e-6
+    p_plus = jax.tree.map(lambda a, d: a + h * d, params, direction)
+    p_minus = jax.tree.map(lambda a, d: a - h * d, params, direction)
+    fd = (float(gp(p_plus)) - float(gp(p_minus))) / (2 * h)
+    np.testing.assert_allclose(directional, fd, rtol=1e-4, atol=1e-8)
