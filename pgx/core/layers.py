@@ -49,8 +49,15 @@ def pixel_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Per-pixel channel normalization: x / sqrt(mean_c(x^2) + eps).
 
     Reference: progan_modules.py:54-60 (channel dim there is 1/NCHW; here -1).
+
+    The reduction accumulates in the compute dtype: exact in f32/f64, and in
+    bf16 mode it stays bf16 end-to-end — profiling showed XLA's default
+    f32-accumulation converts around every pixel-norm reduce were ~1/4 of
+    device time at the 128px flagship (G fwd 20.0 -> 14.3 ms with this).
     """
-    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+    ssq = jnp.sum(jnp.square(x), axis=-1, keepdims=True, dtype=x.dtype)
+    inv_c = jnp.asarray(1.0 / x.shape[-1], x.dtype)
+    return x * lax.rsqrt(ssq * inv_c + jnp.asarray(eps, x.dtype))
 
 
 def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
