@@ -47,11 +47,14 @@ class _FileLock:
                 return self
             except FileExistsError:
                 if time.time() - start > self.timeout:
-                    # stale lock: steal it
+                    # assume the holder died: steal ONCE, then start a
+                    # fresh wait so a live (slow) holder isn't re-stolen
+                    # every retry
                     try:
                         os.unlink(self.path)
                     except FileNotFoundError:
                         pass
+                    start = time.time()
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
@@ -89,7 +92,10 @@ def load_runtime(verbose: bool = False) -> Optional[ctypes.CDLL]:
             os.makedirs(build, exist_ok=True)
             with _FileLock(os.path.join(build, ".lock")):
                 if not os.path.exists(so_path):
-                    tmp = os.path.join(build, "build.so.tmp")
+                    # unique tmp path: even if mutual exclusion is broken
+                    # (stale-lock steal), concurrent builders cannot corrupt
+                    # each other's output before the atomic replace
+                    tmp = os.path.join(build, f"build.{os.getpid()}.so.tmp")
                     cmd = ["g++", *_CFLAGS, _RUNTIME_SRC, "-o", tmp]
                     if verbose:
                         print("pgx.native:", " ".join(cmd))

@@ -61,8 +61,17 @@ def bias_act(x: jnp.ndarray, b: Optional[jnp.ndarray] = None, dim: int = -1,
     spec = activation_funcs[act]
     alpha = float(spec.def_alpha if alpha is None else alpha)
     gain = float(spec.def_gain if gain is None else gain)
+    assert clamp is None or clamp >= 0  # ref ops/bias_act.py:98
+
+    if dim in (-1, x.ndim - 1):
+        # opt-in Pallas fast path (PGX_USE_PALLAS=1 on a TPU backend)
+        from pgx.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            from pgx.ops.pallas import bias_act_pallas
+            return bias_act_pallas(x, b, act=act, alpha=alpha, gain=gain,
+                                   clamp=clamp)
+
     clamp = float(clamp) if clamp is not None else -1.0
-    assert clamp < 0 or clamp >= 0
 
     if b is not None:
         shape = [1] * x.ndim

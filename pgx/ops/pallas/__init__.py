@@ -2,9 +2,13 @@
 
 The reference JIT-compiles CUDA plugins at import with cached build dirs
 (ada/torch_utils/custom_ops.py:46-124) and falls back to pure-torch refs.
-Here kernel availability is decided once per process (Pallas requires a TPU
-backend or interpret mode), and callers go through the dispatchers which
-pick the Pallas fast path or the lax reference path.
+Here the lax formulations in pgx.ops are the default path and the Pallas
+kernels are an opt-in fast path: set ``PGX_USE_PALLAS=1`` to route
+``pgx.ops.upfirdn2d`` (separable filters, up/down <= 2) and
+``pgx.ops.bias_act`` through them on a TPU backend.  Default stays lax
+because XLA's conv lowering benches slightly faster for the FIR shapes,
+while the Pallas path is exact f32 (no bf16 MXU rounding) — see
+tests/test_pallas_kernels.py and the kernel docstrings.
 """
 
 from __future__ import annotations
@@ -23,6 +27,11 @@ def pallas_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def pallas_enabled() -> bool:
+    """Opt-in dispatch switch consulted by the pgx.ops dispatchers."""
+    return bool(os.environ.get("PGX_USE_PALLAS")) and pallas_available()
 
 
 from pgx.ops.pallas.kernels import (  # noqa: F401,E402

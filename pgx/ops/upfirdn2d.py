@@ -102,6 +102,15 @@ def upfirdn2d(x: jnp.ndarray, f: FilterLike, up: int = 1, down: int = 1,
     f = jnp.asarray(f)
     px0, px1, py0, py1 = _parse_padding(padding)
 
+    if f.ndim == 1 and up in (1, 2) and down in (1, 2):
+        # opt-in Pallas fast path (PGX_USE_PALLAS=1 on a TPU backend)
+        from pgx.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            from pgx.ops.pallas import upfirdn2d_pallas
+            return upfirdn2d_pallas(x, np.asarray(f), up=up, down=down,
+                                    padding=(px0, px1, py0, py1),
+                                    flip_filter=flip_filter, gain=gain)
+
     if f.ndim == 1:
         # separable: vertical pass then horizontal pass; gain split evenly
         g = float(np.sqrt(gain))

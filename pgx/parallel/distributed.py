@@ -26,15 +26,18 @@ import jax
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Tuple[int, int]:
-    """Initialize cross-host JAX (no-op on a single process).
+    """Initialize cross-host JAX.
 
-    Returns (process_index, process_count).  On TPU pods the arguments are
-    auto-detected from the environment; pass them explicitly elsewhere.
+    Returns (process_index, process_count).  With all arguments None the
+    call is forwarded to ``jax.distributed.initialize()`` which auto-detects
+    TPU-pod topology from the environment; explicitly pass
+    ``num_processes=1`` (or simply don't call this) for single-process runs.
     """
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    if num_processes == 1:
+        return jax.process_index(), jax.process_count()
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
     return jax.process_index(), jax.process_count()
 
 

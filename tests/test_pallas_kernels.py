@@ -94,3 +94,27 @@ def test_pixel_norm_lrelu_pallas_matches():
     want = np.asarray(leaky_relu(pixel_norm(x), 0.2))
     got = np.asarray(pixel_norm_lrelu_pallas(x, slope=0.2))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_dispatcher_routes_to_pallas(monkeypatch):
+    """PGX_USE_PALLAS=1 routes pgx.ops.upfirdn2d / bias_act through the
+    Pallas kernels (interpret mode here) with identical results."""
+    import pgx.ops.pallas as P
+
+    monkeypatch.setenv("PGX_USE_PALLAS", "1")
+    monkeypatch.setattr(P, "pallas_enabled", lambda: True)
+
+    x = jnp.asarray(_rand((2, 8, 8, 3), seed=77))
+    f1d = np.asarray(setup_filter([1, 3, 3, 1], separable=True))
+    via_dispatch = np.asarray(upfirdn2d(x, jnp.asarray(f1d), up=2,
+                                        padding=1))
+    monkeypatch.setattr(P, "pallas_enabled", lambda: False)
+    via_lax = np.asarray(upfirdn2d(x, jnp.asarray(f1d), up=2, padding=1))
+    np.testing.assert_allclose(via_dispatch, via_lax, rtol=1e-4, atol=1e-5)
+
+    monkeypatch.setattr(P, "pallas_enabled", lambda: True)
+    b = jnp.asarray(_rand((3,), seed=78))
+    got = np.asarray(bias_act(x, b, act="lrelu", clamp=1.0))
+    monkeypatch.setattr(P, "pallas_enabled", lambda: False)
+    want = np.asarray(bias_act(x, b, act="lrelu", clamp=1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
