@@ -234,3 +234,40 @@ def test_gp_gradient_matches_finite_differences():
     p_minus = jax.tree.map(lambda a, d: a - h * d, params, direction)
     fd = (float(gp(p_plus)) - float(gp(p_minus))) / (2 * h)
     np.testing.assert_allclose(directional, fd, rtol=1e-4, atol=1e-8)
+
+
+def test_sharded_step_matches_single_device():
+    """GSPMD data parallelism is semantics-preserving: the same train step
+    on an 8-device mesh (batch sharded) produces the same updated params as
+    a single-device run — losses, gradients, and minibatch-stddev reduce
+    over the global batch either way (SURVEY section 2.8)."""
+    from pgx.parallel import make_mesh, replicate, shard_batch
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(5), gcfg, dcfg, tc)
+    real = np.random.RandomState(4).randn(16, 8, 8, 1).astype(np.float32)
+
+    fn = make_train_step(gcfg, dcfg, tc, step=1, fading=False, donate=False)
+
+    s_single, m_single = fn(state, jnp.asarray(real), None, jnp.float32(1.0))
+    s_single, m_single = fn(s_single, jnp.asarray(real), None,
+                            jnp.float32(1.0))
+
+    mesh = make_mesh()
+    s_shard = replicate(mesh, state)
+    real_sh = shard_batch(mesh, real)
+    s_shard, m_shard = fn(s_shard, real_sh, None, jnp.float32(1.0))
+    s_shard, m_shard = fn(s_shard, real_sh, None, jnp.float32(1.0))
+
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single["g"]),
+                    jax.tree.leaves(s_shard["g"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single["d"]),
+                    jax.tree.leaves(s_shard["d"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
