@@ -37,7 +37,7 @@ def test_psum_moments_under_shard_map():
     from functools import partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
     x = jnp.arange(16.0)
