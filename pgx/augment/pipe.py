@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.scipy.special import erfinv
 
 from pgx.ops.grid_sample import affine_grid, grid_sample
-from pgx.ops.upfirdn2d import downsample2d, setup_filter, upsample2d
+from pgx.ops.upfirdn2d import downsample2d, upsample2d
 
 # Wavelet low-pass coefficients used by the pipeline (augment.py:22-39 table;
 # only the two filters the pipe consumes).
@@ -90,8 +90,13 @@ def bgc_config(**overrides) -> AugmentConfig:
     return AugmentConfig(**base)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _filter_bank() -> np.ndarray:
-    """4-band bandpass bank from sym2 (augment.py:171-180)."""
+    """4-band bandpass bank from sym2 (augment.py:171-180).  Lazy: scipy is
+    only needed when the imgfilter transform is actually used."""
     import scipy.signal
     hz_lo = np.asarray(WAVELETS["sym2"])
     hz_hi = hz_lo * ((-1) ** np.arange(hz_lo.size))
@@ -107,8 +112,12 @@ def _filter_bank() -> np.ndarray:
     return bank
 
 
-HZ_GEOM = np.asarray(setup_filter(WAVELETS["sym6"]))
-HZ_FBANK = _filter_bank().astype(np.float32)
+@functools.lru_cache(maxsize=1)
+def _hz_geom() -> np.ndarray:
+    """Normalized sym6 low-pass (setup_filter semantics) as pure numpy so
+    importing this module never initializes a JAX backend."""
+    f = np.asarray(WAVELETS["sym6"], np.float64)
+    return (f / f.sum()).astype(np.float32)
 
 
 # --- batched homogeneous-matrix helpers (augment.py:44-108) ----------------
@@ -259,8 +268,9 @@ def augment_pipe(key: jax.Array, images: jnp.ndarray, cfg: AugmentConfig,
 
     # ---------------- execute geometric transform --------------------------
     if geom_active:
-        hz = jnp.asarray(HZ_GEOM)
-        hz_pad = HZ_GEOM.shape[0] // 4
+        hz_np = _hz_geom()
+        hz = jnp.asarray(hz_np)
+        hz_pad = hz_np.shape[0] // 4
         # static worst-case reflect margin (reference clamps its data-
         # dependent margin to exactly this, augment.py:283)
         mx, my = width - 1, height - 1
@@ -350,7 +360,8 @@ def augment_pipe(key: jax.Array, images: jnp.ndarray, cfg: AugmentConfig,
 
     # ---------------- image-space filtering --------------------------------
     if cfg.imgfilter > 0:
-        fbank = jnp.asarray(HZ_FBANK)
+        fbank_np = _filter_bank().astype(np.float32)
+        fbank = jnp.asarray(fbank_np)
         num_bands = fbank.shape[0]
         assert len(cfg.imgfilter_bands) == num_bands
         expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13,
@@ -371,7 +382,7 @@ def augment_pipe(key: jax.Array, images: jnp.ndarray, cfg: AugmentConfig,
 
         hz_prime = g @ fbank                           # (B, taps)
         taps = hz_prime.shape[1]
-        pad = HZ_FBANK.shape[1] // 2
+        pad = fbank_np.shape[1] // 2
         # NHWC grouped conv: channels = B*C, per-channel separable filter
         x = jnp.transpose(images, (1, 2, 0, 3)).reshape(
             1, height, width, b * c)

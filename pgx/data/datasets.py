@@ -163,20 +163,29 @@ class ImageFolderDataset:
         return len(self.paths)
 
     def load(self, idx: int, size: int) -> np.ndarray:
-        """CelebA-style transform: Resize(factor*size) -> RandomCrop(size)
-        -> RandomHorizontalFlip (train.py:36-47)."""
+        """CelebA-style transform (train.py:37-41):
+        Resize(size + int(size*0.2) + 1) — torchvision semantics: scale the
+        SHORTER edge, preserving aspect ratio — then RandomCrop(size) and
+        RandomHorizontalFlip."""
         from PIL import Image
         im = Image.open(self.paths[idx]).convert("RGB")
-        rs = int(round(size * self.resize_factor))
-        im = im.resize((rs, rs), Image.BILINEAR)
-        arr = np.asarray(im, np.uint8)
-        if self.random_crop and rs > size:
-            y = self.rng.randint(0, rs - size + 1)
-            x = self.rng.randint(0, rs - size + 1)
-            arr = arr[y:y + size, x:x + size]
+        if self.resize_factor > 1.0:
+            short = size + int(size * (self.resize_factor - 1.0)) + 1
         else:
-            off = (rs - size) // 2
-            arr = arr[off:off + size, off:off + size]
+            short = size
+        w0, h0 = im.size
+        scale = short / min(w0, h0)
+        rw = max(short, int(round(w0 * scale)))
+        rh = max(short, int(round(h0 * scale)))
+        im = im.resize((rw, rh), Image.BILINEAR)
+        arr = np.asarray(im, np.uint8)
+        h, w = arr.shape[:2]
+        if self.random_crop:
+            y = self.rng.randint(0, h - size + 1)
+            x = self.rng.randint(0, w - size + 1)
+        else:
+            y, x = (h - size) // 2, (w - size) // 2
+        arr = arr[y:y + size, x:x + size]
         if self.hflip and self.rng.rand() < 0.5:
             arr = arr[:, ::-1]
         return arr

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from pgx import checkpoint as ckpt
 from pgx.eval.fid import (calculate_activation_statistics,
                           calculate_frechet_distance, make_extractor)
-from pgx.models.generator import generator_apply
+from pgx.train.wgan import make_eval_generate
 
 
 def load_fid_scores(trial_dir: str) -> dict:
@@ -47,8 +47,7 @@ def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
     """Batched EMA-generator sampling (reference :103-113); returns float32
     NHWC outputs (pre-squash — the FID preprocessing applies the reference's
     tanh quirk)."""
-    gen = jax.jit(lambda p, z, lab: generator_apply(
-        p, gcfg, z, lab, step=step, alpha=alpha, fading=fading))
+    gen = make_eval_generate(gcfg, step=step, fading=fading)
     rng = np.random.RandomState(seed)
     outs = []
     done = 0
@@ -57,7 +56,8 @@ def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
         z = jnp.asarray(rng.randn(b, gcfg.z_dim).astype(np.float32))
         lab = (jnp.asarray(rng.randint(0, num_classes, b))
                if num_classes else None)
-        outs.append(np.asarray(gen(params, z, lab), np.float32))
+        outs.append(np.asarray(gen(params, z, lab, jnp.float32(alpha)),
+                               np.float32))
         done += b
     return np.concatenate(outs)
 

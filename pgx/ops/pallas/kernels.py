@@ -88,6 +88,14 @@ def _fir_pass(x: jnp.ndarray, taps, down: int, pad0: int,
     row-parity planes: out[i] = sum_ph sum_k taps[down*k+ph] xp[down*(i+k)+ph].
     """
     ntaps = len(taps)
+    # negative padding is cropping: slice the corresponding rows off before
+    # filtering (zero-pad and crop commute with a zero-padded FIR)
+    if pad0 < 0:
+        x = x[-pad0:]
+        pad0 = 0
+    if pad1 < 0:
+        x = x[:pad1]
+        pad1 = 0
     xp = jnp.pad(x, ((pad0, pad1), (0, 0)))
     rows_out = (xp.shape[0] - ntaps) // down + 1
     if rows_out <= 0:

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from pgx import checkpoint as ckpt
 from pgx.data.pipeline import DevicePrefetcher, array_batches
 from pgx.models.config import DiscriminatorConfig, GeneratorConfig
-from pgx.models.generator import generator_apply
 from pgx.parallel import make_mesh_for_batch, replicate
-from pgx.train.wgan import TrainConfig, init_train_state, make_train_step
+from pgx.train.wgan import (TrainConfig, init_train_state,
+                            make_eval_generate, make_train_step)
 from pgx.utils.png import save_image_grid
 
 
@@ -80,7 +80,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                tc: TrainConfig, schedule, dataset, loop_cfg: LoopConfig,
                resume_dir: Optional[str] = None,
                batch_fn: Callable = array_batches,
-               augment_cfg=None, ada_cfg=None,
+               augment_cfg=None, ada_cfg=None, augment_p: float = 1.0,
                hooks: Optional[Dict[str, Callable]] = None) -> str:
     """Run training; returns the trial directory path.  ``augment_cfg`` /
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
@@ -93,7 +93,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     start_iter = 0
 
     if resume_dir is not None:
-        trial_dir = resume_dir
+        trial_dir = resume_dir.rstrip("/")
         postfix = os.path.basename(trial_dir)[len("trial_"):]
         state_files = sorted(
             (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
@@ -170,7 +170,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 step_cache[fkey] = make_train_step(
                     gcfg, dcfg, tc, step=st.step, fading=st.fading,
                     update_g=update_g, apply_gp=apply_gp,
-                    augment_cfg=augment_cfg, ada_cfg=ada_cfg)
+                    augment_cfg=augment_cfg, ada_cfg=ada_cfg,
+                    augment_p=augment_p)
             state, metrics = step_cache[fkey](
                 state, imgs, labels, jnp.float32(st.alpha))
 
@@ -182,10 +183,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             if it % loop_cfg.sample_every == 0 or i == start_iter:
                 gkey = (st.step, st.fading)
                 if gkey not in gen_cache:
-                    gen_cache[gkey] = jax.jit(
-                        lambda p, z, lab, a, _s=st.step, _f=st.fading:
-                        generator_apply(p, gcfg, z, lab, step=_s, alpha=a,
-                                        fading=_f))
+                    gen_cache[gkey] = make_eval_generate(
+                        gcfg, step=st.step, fading=st.fading)
                 images = gen_cache[gkey](
                     state["g_ema"], jnp.asarray(sample_z),
                     jnp.asarray(sample_labels)

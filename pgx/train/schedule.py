@@ -68,6 +68,9 @@ class ProperSchedule:
                  max_step: int, init_step: int = 1):
         assert max_step >= 1 and init_step >= 1
         self.ips = images_seen_per_mini_step // batch_size
+        assert self.ips >= 1, (
+            f"images_seen_per_mini_step={images_seen_per_mini_step} must be "
+            f">= batch_size={batch_size}")
         self.max_step = max_step
         self.init_step = init_step
 

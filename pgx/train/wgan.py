@@ -99,6 +99,7 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     stddev_axis_name: Optional[str] = None,
                     augment_cfg: Optional[AugmentConfig] = None,
                     ada_cfg: Optional[AdaConfig] = None,
+                    augment_p: float = 1.0,
                     donate: bool = True):
     """Build the jitted train step for one (stage, fade-phase).
 
@@ -108,9 +109,11 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
     When ``augment_cfg`` is given, the ADA pipeline augments every image D
     sees (reals, fakes, and the x_hat interpolants are built from augmented
-    endpoints), differentiable through to G; ``ada_cfg`` additionally runs
-    the adaptive-p controller on the real logits — the loop the reference
-    shipped but never wired in (SURVEY.md section 2.4).
+    endpoints), differentiable through to G.  With ``ada_cfg`` the
+    adaptive-p controller drives the probability from the real logits — the
+    loop the reference shipped but never wired in (SURVEY.md section 2.4);
+    without it the fixed ``augment_p`` applies (the controller state's p
+    starts at 0, which would make augment_cfg-alone a silent no-op).
     """
     conditional = gcfg.conditioning != "none"
     opt = make_optimizer(tc)
@@ -133,7 +136,8 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         lab = labels if conditional else None
 
         if augment_cfg is not None:
-            ada_p = state["ada"]["p"]
+            ada_p = (state["ada"]["p"] if ada_cfg is not None
+                     else jnp.float32(augment_p))
             real = augment_pipe(kar, real, augment_cfg, ada_p)
             aug_fake = lambda img: augment_pipe(kaf, img, augment_cfg, ada_p)
         else:
@@ -215,11 +219,13 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_generate(gcfg: GeneratorConfig, *, step: int, fading: bool):
-    """Jitted sampling from (usually) the EMA generator."""
-    @functools.partial(jax.jit, static_argnums=())
-    def generate(params, z, labels, alpha):
+def make_eval_generate(gcfg: GeneratorConfig, *, step: int,
+                       fading: bool = False):
+    """Jitted sampling from (usually) the EMA generator — the one sampling
+    wrapper shared by the train loop and the FID sweep."""
+    @jax.jit
+    def generate(params, z, labels=None, alpha=1.0):
         lab = labels if gcfg.conditioning != "none" else None
-        return generator_apply(params, gcfg, z, lab, step=step, alpha=alpha,
-                               fading=fading)
+        return generator_apply(params, gcfg, z, lab, step=step,
+                               alpha=alpha, fading=fading)
     return generate

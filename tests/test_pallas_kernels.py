@@ -118,3 +118,16 @@ def test_dispatcher_routes_to_pallas(monkeypatch):
     monkeypatch.setattr(P, "pallas_enabled", lambda: False)
     want = np.asarray(bias_act(x, b, act="lrelu", clamp=1.0))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_upfirdn2d_pallas_negative_padding():
+    """The ADA geometric path's crop call: down=2 with padding=-hz_pad*2."""
+    from pgx.ops.pallas.kernels import upfirdn2d_pallas
+
+    x = jnp.asarray(_rand((1, 20, 20, 2), seed=91))
+    f = np.asarray(setup_filter([1, 3, 3, 1], separable=True))
+    want = np.asarray(upfirdn2d(x, jnp.asarray(f), down=2,
+                                padding=(-2, -1, -2, -1)))
+    got = np.asarray(upfirdn2d_pallas(x, f, down=2, padding=(-2, -1, -2, -1)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

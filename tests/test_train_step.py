@@ -271,3 +271,27 @@ def test_sharded_step_matches_single_device():
                     jax.tree.leaves(s_shard["d"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_fixed_p_augmentation_without_controller():
+    """augment_cfg without ada_cfg uses the fixed augment_p (not the
+    controller's zero-initialized p, which would be a silent no-op)."""
+    from pgx.augment import bgc_config
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(9), gcfg, dcfg, tc)
+    real = np.random.RandomState(9).randn(4, 8, 8, 1).astype(np.float32)
+
+    fn = make_train_step(gcfg, dcfg, tc, step=1, fading=False,
+                         augment_cfg=bgc_config(), augment_p=0.9,
+                         donate=False)
+    fn0 = make_train_step(gcfg, dcfg, tc, step=1, fading=False,
+                          augment_cfg=bgc_config(), augment_p=0.0,
+                          donate=False)
+    _, m = fn(state, jnp.asarray(real), None, jnp.float32(1.0))
+    _, m0 = fn0(state, jnp.asarray(real), None, jnp.float32(1.0))
+    assert np.isfinite(float(m["d_total"]))
+    # p=0.9 actually augments: D sees different images than the p=0 run
+    assert abs(float(m["real_score"]) - float(m0["real_score"])) > 1e-6
