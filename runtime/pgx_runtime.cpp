@@ -16,11 +16,12 @@
 
 extern "C" {
 
-// uint8 [0,255] -> float32 [-1, 1]
+// uint8 [0,255] -> float32 [-1, 1].  Division (not reciprocal multiply):
+// 255/127.5f == 2.0f exactly, so the range endpoint is exactly 1.0 and the
+// result matches the numpy fallback bit-for-bit.
 void normalize_u8_to_f32(const uint8_t* src, int64_t n, float* dst) {
-    constexpr float scale = 1.0f / 127.5f;
     for (int64_t i = 0; i < n; ++i) {
-        dst[i] = static_cast<float>(src[i]) * scale - 1.0f;
+        dst[i] = static_cast<float>(src[i]) / 127.5f - 1.0f;
     }
 }
 
@@ -29,12 +30,11 @@ void normalize_u8_to_f32(const uint8_t* src, int64_t n, float* dst) {
 // ArrayDataset batching.
 void gather_normalize(const uint8_t* images, const int64_t* idx, int64_t bs,
                       int64_t image_elems, float* out) {
-    constexpr float scale = 1.0f / 127.5f;
     for (int64_t b = 0; b < bs; ++b) {
         const uint8_t* src = images + idx[b] * image_elems;
         float* dst = out + b * image_elems;
         for (int64_t i = 0; i < image_elems; ++i) {
-            dst[i] = static_cast<float>(src[i]) * scale - 1.0f;
+            dst[i] = static_cast<float>(src[i]) / 127.5f - 1.0f;
         }
     }
 }

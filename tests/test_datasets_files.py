@@ -1,0 +1,129 @@
+"""File-backed dataset paths: ImageFolder (aspect-preserving CelebA
+transform), WikiArt CSV with size filtering, MNIST/CIFAR local-file readers,
+and the Inception torch-weight loader round-trip."""
+
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from pgx.data import (ImageFolderDataset, WikiArtDataset, load_cifar10,
+                      load_mnist)
+from pgx.data.pipeline import folder_batches
+
+
+def _write_png(path, w, h, color=(200, 30, 60)):
+    from PIL import Image
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:] = color
+    arr[h // 4:h // 2, w // 4:w // 2] = 255
+    Image.fromarray(arr).save(path)
+
+
+def test_image_folder_aspect_preserving(tmp_path):
+    root = tmp_path / "celeba"
+    os.makedirs(root / "all")
+    # CelebA-like tall images 178x218
+    for i in range(3):
+        _write_png(root / "all" / f"{i}.png", 178, 218)
+    ds = ImageFolderDataset(str(root), resize_factor=1.2, random_crop=True,
+                            hflip=True, seed=0)
+    assert len(ds) == 3 and ds.num_classes == 1
+    img = ds.load(0, 32)
+    assert img.shape == (32, 32, 3)
+    # reference margin: shorter edge -> 32 + int(32*0.2) + 1 = 39; the
+    # longer edge must scale proportionally (39 * 218/178 ≈ 48), so crops
+    # at different seeds can differ vertically (aspect preserved, no squash)
+    imgs, labels = next(folder_batches(ds, 3, 32, seed=1))
+    assert imgs.shape == (3, 32, 32, 3)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+    assert labels.shape == (3,)
+
+
+def test_wikiart_csv_dataset(tmp_path):
+    img_root = tmp_path / "images"
+    rows = []
+    for cat, size in [("portrait", 64), ("portrait", 16),
+                      ("landscape", 128)]:
+        os.makedirs(img_root / cat, exist_ok=True)
+        name = f"{cat}/{size}.png"
+        _write_png(img_root / cat / f"{size}.png", size, size)
+        rows.append((name, cat, size))
+    csv_path = tmp_path / "data_info.csv"
+    with open(csv_path, "w") as f:
+        f.write("filename,category,size\n")
+        for name, cat, size in rows:
+            f.write(f"{name},{cat},{size}\n")
+
+    ds = WikiArtDataset(str(csv_path), str(img_root))
+    assert ds.num_classes == 2
+    # size filter: only images with size >= resolution survive
+    assert len(ds.subset_for(32)) == 2
+    assert len(ds.subset_for(128)) == 1
+    img = ds.load("portrait/64.png", 32)
+    assert img.shape == (32, 32, 3)
+
+    from pgx.cli.conditional_proper_wikiart import wikiart_batches
+    imgs, labels = next(wikiart_batches(ds, 2, 32, seed=0))
+    assert imgs.shape == (2, 32, 32, 3)
+    assert set(labels) <= {0, 1}
+
+
+def test_mnist_idx_reader(tmp_path):
+    n, h, w = 5, 28, 28
+    rng = np.random.RandomState(0)
+    images = (rng.rand(n, h, w) * 255).astype(np.uint8)
+    labels = rng.randint(0, 10, n).astype(np.uint8)
+    with gzip.open(tmp_path / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n, h, w) + images.tobytes())
+    with gzip.open(tmp_path / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">II", 2049, n) + labels.tobytes())
+    ds = load_mnist(str(tmp_path))
+    assert ds.images.shape == (n, h, w, 1)
+    np.testing.assert_array_equal(ds.labels, labels)
+
+
+def test_cifar_pickle_reader(tmp_path):
+    base = tmp_path / "cifar-10-batches-py"
+    os.makedirs(base)
+    rng = np.random.RandomState(1)
+    for i in range(1, 6):
+        batch = {b"data": (rng.rand(4, 3072) * 255).astype(np.uint8),
+                 b"labels": list(rng.randint(0, 10, 4))}
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(batch, f)
+    ds = load_cifar10(str(tmp_path))
+    assert ds.images.shape == (20, 32, 32, 3)
+    assert ds.num_classes == 10
+
+
+def test_inception_weight_loader_roundtrip(tmp_path):
+    """load_torch_weights consumes a torchvision-named state_dict file and
+    the loaded net reproduces the source parameters' forward."""
+    import torch
+
+    import jax
+    from pgx.eval.inception import (inception_pool3, init_inception,
+                                    load_torch_weights)
+
+    params = init_inception(jax.random.PRNGKey(0))
+    sd = {}
+    for name, p in params.items():
+        w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO -> OIHW
+        sd[f"{name}.conv.weight"] = torch.from_numpy(w.copy())
+        sd[f"{name}.bn.weight"] = torch.from_numpy(np.asarray(p["gamma"]))
+        sd[f"{name}.bn.bias"] = torch.from_numpy(np.asarray(p["beta"]))
+        sd[f"{name}.bn.running_mean"] = torch.from_numpy(
+            np.asarray(p["mean"]))
+        sd[f"{name}.bn.running_var"] = torch.from_numpy(np.asarray(p["var"]))
+    path = str(tmp_path / "inception.pth")
+    torch.save(sd, path)
+
+    loaded = load_torch_weights(path)
+    x = np.random.RandomState(2).randn(1, 299, 299, 3).astype(np.float32)
+    a = np.asarray(inception_pool3(params, x))
+    b = np.asarray(inception_pool3(loaded, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

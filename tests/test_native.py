@@ -38,7 +38,7 @@ def test_normalize_parity():
     x = (rng.rand(2, 8, 8, 3) * 255).astype(np.uint8)
     want = x.astype(np.float32) / 127.5 - 1.0
     got = native.normalize_u8(x)
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_gather_normalize_parity():
@@ -47,7 +47,7 @@ def test_gather_normalize_parity():
     idx = np.asarray([3, 0, 15, 7])
     want = images[idx].astype(np.float32) / 127.5 - 1.0
     got = native.gather_normalize(images, idx)
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_resize_bilinear_matches_fallback():
