@@ -107,3 +107,28 @@ def test_source_snapshot_roundtrip(tmp_path):
         m = json.load(f)
     assert "core/layers.py" in m
     assert persistence.verify_snapshot(str(tmp_path)) == {}
+
+
+def test_dnnlib_util_helpers(tmp_path):
+    from pgx import utils
+
+    assert utils.format_time(42) == "42s"
+    assert utils.format_time(3661) == "1h 01m 01s"
+    assert utils.format_size(10) == "10 B"
+    assert utils.format_size(2048) == "2.0 KB"
+
+    fn = utils.get_obj_by_name("pgx.core.pixel_norm")
+    from pgx.core import pixel_norm
+    assert fn is pixel_norm
+    assert utils.call_func_by_name("builtins.len", [1, 2, 3]) == 3
+    with pytest.raises(ImportError):
+        utils.get_obj_by_name("pgx.not.a.thing")
+
+    import os
+    os.makedirs(tmp_path / "a" / "__pycache__")
+    open(tmp_path / "a" / "x.py", "w").write("")
+    open(tmp_path / "a" / "__pycache__" / "x.pyc", "w").write("")
+    files = utils.list_dir_recursively_with_ignore(
+        str(tmp_path), ignores=["__pycache__"])
+    rels = [r.replace("\\", "/") for _, r in files]
+    assert rels == ["a/x.py"]
