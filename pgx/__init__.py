@@ -11,7 +11,7 @@ Layout (bottom-up):
                     bias_act registry, grid_sample; Pallas TPU variants.
   pgx.core       -- layer primitives: equalized-LR conv/linear/embed,
                     PixelNorm, minibatch-stddev, conv blocks.
-  pgx.models     -- unified Generator/Discriminator covering all 17 reference
+  pgx.models     -- unified Generator/Discriminator covering all 15 reference
                     model classes via configuration.
   pgx.train      -- WGAN-GP loss, per-stage jitted train steps, EMA, schedules.
   pgx.data       -- host-side input pipelines with device prefetch.

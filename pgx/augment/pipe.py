@@ -126,19 +126,28 @@ def _eye3(b):
     return jnp.tile(jnp.eye(3, dtype=jnp.float32), (b, 1, 1))
 
 
+def _f32(x):
+    # under jax_enable_x64, default-dtype literals (jnp.ones, np.pi products)
+    # would otherwise scatter f64 values into the f32 eye matrices
+    return jnp.asarray(x, jnp.float32)
+
+
 def _translate2d(tx, ty):
+    tx, ty = _f32(tx), _f32(ty)
     b = tx.shape[0]
     m = _eye3(b)
     return m.at[:, 0, 2].set(tx).at[:, 1, 2].set(ty)
 
 
 def _scale2d(sx, sy):
+    sx, sy = _f32(sx), _f32(sy)
     b = sx.shape[0]
     m = _eye3(b)
     return m.at[:, 0, 0].set(sx).at[:, 1, 1].set(sy)
 
 
 def _rotate2d(theta):
+    theta = _f32(theta)
     b = theta.shape[0]
     c, s = jnp.cos(theta), jnp.sin(theta)
     m = _eye3(b)
@@ -147,18 +156,21 @@ def _rotate2d(theta):
 
 
 def _translate3d(tx, ty, tz):
+    tx, ty, tz = _f32(tx), _f32(ty), _f32(tz)
     b = tx.shape[0]
     m = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
     return m.at[:, 0, 3].set(tx).at[:, 1, 3].set(ty).at[:, 2, 3].set(tz)
 
 
 def _scale3d(sx, sy, sz):
+    sx, sy, sz = _f32(sx), _f32(sy), _f32(sz)
     b = sx.shape[0]
     m = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
     return m.at[:, 0, 0].set(sx).at[:, 1, 1].set(sy).at[:, 2, 2].set(sz)
 
 
 def _rotate3d(v, theta):
+    v, theta = _f32(v), _f32(theta)
     vx, vy, vz = v[0], v[1], v[2]
     s, c = jnp.sin(theta), jnp.cos(theta)
     cc = 1 - c

@@ -20,10 +20,12 @@ for separable application.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -106,10 +108,9 @@ def upfirdn2d(x: jnp.ndarray, f: FilterLike, up: int = 1, down: int = 1,
         # opt-in Pallas fast path (PGX_USE_PALLAS=1 on a TPU backend)
         from pgx.ops.pallas import pallas_enabled
         if pallas_enabled():
-            from pgx.ops.pallas import upfirdn2d_pallas
-            return upfirdn2d_pallas(x, np.asarray(f), up=up, down=down,
-                                    padding=(px0, px1, py0, py1),
-                                    flip_filter=flip_filter, gain=gain)
+            return _upfirdn2d_pallas_ad(
+                x, tuple(np.asarray(f, np.float64).tolist()), up, down,
+                (px0, px1, py0, py1), bool(flip_filter), float(gain))
 
     if f.ndim == 1:
         # separable: vertical pass then horizontal pass; gain split evenly
@@ -132,6 +133,48 @@ def upfirdn2d(x: jnp.ndarray, f: FilterLike, up: int = 1, down: int = 1,
         lhs_dilation=(up, up),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)
+
+
+def _upfirdn2d_sep_lax(x, f, up, down, pads, flip_filter):
+    """The separable lax formulation (reference math, XLA-differentiable)."""
+    px0, px1, py0, py1 = pads
+    y = _upfirdn2d_1d(x, f, axis=1, up=up, down=down,
+                      pad0=py0, pad1=py1, flip_filter=flip_filter)
+    return _upfirdn2d_1d(y, f, axis=2, up=up, down=down,
+                         pad0=px0, pad1=px1, flip_filter=flip_filter)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _upfirdn2d_pallas_ad(x, f_taps, up, down, pads, flip_filter, gain):
+    """Pallas forward with the lax formulation as the reverse-mode rule.
+
+    pl.pallas_call has no AD rule, so without this wrapper the opt-in
+    PGX_USE_PALLAS flag would break any differentiated trace — notably the
+    ADA-augmented G update (ADVICE r1).  upfirdn2d is linear in x, so the
+    VJP of the lax path is primal-independent and exact.
+    """
+    from pgx.ops.pallas import upfirdn2d_pallas
+    return upfirdn2d_pallas(x, np.asarray(f_taps, np.float32), up=up,
+                            down=down, padding=pads,
+                            flip_filter=flip_filter, gain=gain)
+
+
+def _upfirdn2d_pallas_fwd(x, f_taps, up, down, pads, flip_filter, gain):
+    return (_upfirdn2d_pallas_ad(x, f_taps, up, down, pads, flip_filter,
+                                 gain), x.shape)
+
+
+def _upfirdn2d_pallas_bwd(f_taps, up, down, pads, flip_filter, gain,
+                          x_shape, g):
+    f = jnp.asarray(np.asarray(f_taps, np.float32)
+                    * np.sqrt(gain, dtype=np.float32))
+    _, vjp = jax.vjp(
+        lambda xx: _upfirdn2d_sep_lax(xx, f, up, down, pads, flip_filter),
+        jnp.zeros(x_shape, g.dtype))
+    return (vjp(g)[0],)
+
+
+_upfirdn2d_pallas_ad.defvjp(_upfirdn2d_pallas_fwd, _upfirdn2d_pallas_bwd)
 
 
 def filter2d(x: jnp.ndarray, f: FilterLike, padding=0,

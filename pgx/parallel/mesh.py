@@ -10,6 +10,7 @@ psums over ICI; no NCCL-style code is needed.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -24,11 +25,23 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 
 
 def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
-    """Largest device prefix that evenly divides the global batch."""
+    """Largest device prefix that evenly divides the global batch.
+
+    Warns loudly when devices are dropped: e.g. the reference's default
+    batch_size=4 on an 8-chip slice would otherwise quietly train on half
+    the hardware.
+    """
     devices = jax.devices()
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n < len(devices):
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the "
+            f"{len(devices)} available devices; training will use only "
+            f"{n} device(s). Raise batch_size to a multiple of "
+            f"{len(devices)} to use the full mesh.", RuntimeWarning,
+            stacklevel=2)
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 

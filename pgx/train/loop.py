@@ -149,6 +149,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     current_res = None
     sums: Dict[str, Any] = {}
     count = 0
+    gp_count = 0
     t_log = time.time()
 
     try:
@@ -176,6 +177,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 state, imgs, labels, jnp.float32(st.alpha))
 
             count += 1
+            # with gp_every > 1, average the penalty only over iterations
+            # that actually computed it (the zeros from skipped iterations
+            # would dilute the logged value by ~1/gp_every vs the
+            # reference's per-application number)
+            gp_count += int(apply_gp)
             sums = (metrics if not sums else
                     jax.tree.map(lambda a, b: a + b, sums, metrics))
 
@@ -204,6 +210,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
             if it % loop_cfg.log_every == 0 and count:
                 vals = {k: float(v) / count for k, v in sums.items()}
+                if "grad_penalty" in sums:
+                    vals["grad_penalty"] = (
+                        float(sums["grad_penalty"]) / max(gp_count, 1))
                 dt = time.time() - t_log
                 ips = count * loop_cfg.batch_size / max(dt, 1e-9)
                 msg = (f"{it}; G: {vals.get('g_loss', 0):.3f}; "
@@ -218,7 +227,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                             f"{vals.get('d_loss', 0):.5f},"
                             f"{vals.get('grad_penalty', 0):.5f},"
                             f"{st.alpha:.5f}\n")
-                sums, count, t_log = {}, 0, time.time()
+                sums, count, gp_count, t_log = {}, 0, 0, time.time()
 
             if "on_iteration" in hooks:
                 hooks["on_iteration"](i, st, state, metrics)

@@ -130,7 +130,7 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
     def train_step(state, real, labels, alpha):
         rng = state["rng"]
-        rng, kz, keps, kar, kaf = jax.random.split(rng, 5)
+        rng, kz, keps, kar, kaf, kag = jax.random.split(rng, 6)
         bsz = real.shape[0]
         z = jax.random.normal(kz, (bsz, gcfg.z_dim), jnp.float32)
         lab = labels if conditional else None
@@ -139,11 +139,19 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             ada_p = (state["ada"]["p"] if ada_cfg is not None
                      else jnp.float32(augment_p))
             real = augment_pipe(kar, real, augment_cfg, ada_p)
-            aug_fake = lambda img: augment_pipe(kaf, img, augment_cfg, ada_p)
+            # StyleGAN2-ADA semantics: every pipeline application draws fresh
+            # transforms — the D step's fake pass uses kaf, the G step below
+            # redraws with kag rather than optimizing G against the one fixed
+            # transform D happened to see (ada/augment.py applies the pipe
+            # independently per call; verified by test_train_step.py).
+            aug_d_fake = lambda img: augment_pipe(kaf, img, augment_cfg,
+                                                  ada_p)
+            aug_g_fake = lambda img: augment_pipe(kag, img, augment_cfg,
+                                                  ada_p)
         else:
-            aug_fake = lambda img: img
+            aug_d_fake = aug_g_fake = lambda img: img
 
-        fake = aug_fake(g_fwd(state["g"], z, lab, alpha))
+        fake = aug_d_fake(g_fwd(state["g"], z, lab, alpha))
         fake = jax.lax.stop_gradient(fake)
 
         # --- D update -----------------------------------------------------
@@ -194,7 +202,7 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         # --- G update (every n_critic iters; same z, updated D) -----------
         if update_g:
             def g_loss_fn(pg):
-                imgs = aug_fake(g_fwd(pg, z, lab, alpha))
+                imgs = aug_g_fake(g_fwd(pg, z, lab, alpha))
                 return -jnp.mean(d_fwd(new_d, imgs, lab, alpha))
 
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])

@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 TINY = ["--synthetic", "--batch-size", "4", "--log-every", "100",
         "--sample-every", "100", "--checkpoint-every", "100",
         "--no-mesh", "--channels", "8", "--z-dim", "8"]

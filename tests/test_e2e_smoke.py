@@ -4,6 +4,10 @@ stage switch, samples + checkpoints + logs written, resume works."""
 
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from pgx import checkpoint as ckpt

@@ -132,3 +132,44 @@ def test_dnnlib_util_helpers(tmp_path):
         str(tmp_path), ignores=["__pycache__"])
     rels = [r.replace("\\", "/") for _, r in files]
     assert rels == ["a/x.py"]
+
+
+def test_make_mesh_for_batch_warns_on_device_drop():
+    """VERDICT r1: an 8-chip mesh with batch_size=4 must not silently train
+    on half the devices."""
+    import warnings
+
+    import jax
+
+    from pgx.parallel import make_mesh_for_batch
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = make_mesh_for_batch(3)          # 8 CPU devices, 3 % 8 != 0
+    assert mesh.devices.size == 3
+    assert any("available devices" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = make_mesh_for_batch(16)
+    assert mesh.devices.size == len(jax.devices())
+    assert not w
+
+
+def test_augment_matrix_helpers_stay_f32_under_x64():
+    """ADVICE r1: jnp.ones / np.pi products must not scatter f64 into the
+    f32 homogeneous matrices (future JAX hard error)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from pgx.augment.pipe import augment_pipe, bgc_config
+
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    cfg = bgc_config(noise=1, cutout=1, imgfilter=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        out = augment_pipe(key, imgs, cfg, 0.9)
+    assert out.dtype == jnp.float32

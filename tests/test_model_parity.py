@@ -1,7 +1,7 @@
 """End-to-end numerical parity of every pgx model variant against the actual
 reference models (run under torch as an oracle, weights transplanted).
 
-Covers all 17 reference classes x multiple steps x fade on/off.
+Covers all 15 reference classes x multiple steps x fade on/off.
 """
 
 import numpy as np

@@ -131,3 +131,25 @@ def test_upfirdn2d_pallas_negative_padding():
     got = np.asarray(upfirdn2d_pallas(x, f, down=2, padding=(-2, -1, -2, -1)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_upfirdn2d_pallas_dispatch_is_differentiable(monkeypatch):
+    """ADVICE r1: the PGX_USE_PALLAS dispatch must survive reverse-mode AD
+    (the ADA-augmented G update differentiates through up/downsample2d)."""
+    import pgx.ops.pallas as P
+
+    monkeypatch.setattr(P, "pallas_enabled", lambda: True)
+
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(_rand((2, 8, 8, 3), seed=5))
+
+    def loss_pallas(xx):
+        return jnp.sum(jnp.square(upfirdn2d(xx, f, up=2, down=1, padding=1,
+                                            gain=4.0)))
+
+    gp = jax.grad(loss_pallas)(x)
+
+    monkeypatch.setattr(P, "pallas_enabled", lambda: False)
+    gl = jax.grad(loss_pallas)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gl),
+                               rtol=1e-5, atol=1e-5)

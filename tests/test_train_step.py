@@ -295,3 +295,42 @@ def test_fixed_p_augmentation_without_controller():
     assert np.isfinite(float(m["d_total"]))
     # p=0.9 actually augments: D sees different images than the p=0 run
     assert abs(float(m["real_score"]) - float(m0["real_score"])) > 1e-6
+
+
+def test_g_step_redraws_augmentation(monkeypatch):
+    """StyleGAN2-ADA semantics: the G update must see a fresh augmentation
+    draw, not the transform the D step's fake pass happened to use
+    (VERDICT r1 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pgx.train.wgan as wgan
+    from pgx.augment.pipe import AugmentConfig
+    from pgx.models import zoo
+
+    seen_keys = []
+    real_pipe = wgan.augment_pipe
+
+    def spy_pipe(key, images, cfg, p, **kw):
+        seen_keys.append(np.asarray(jax.random.key_data(key)))
+        return real_pipe(key, images, cfg, p, **kw)
+
+    monkeypatch.setattr(wgan, "augment_pipe", spy_pipe)
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = wgan.TrainConfig()
+    state = wgan.init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+    acfg = AugmentConfig(xflip=1, brightness=1)
+
+    with jax.disable_jit():
+        fn = wgan.make_train_step(gcfg, dcfg, tc, step=1, fading=False,
+                                  augment_cfg=acfg, augment_p=0.8,
+                                  donate=False)
+        real = jnp.zeros((4, 8, 8, 1), jnp.float32)
+        fn(state, real, None, jnp.float32(1.0))
+
+    # one call for the reals, one for the D-step fakes, one for the G step
+    assert len(seen_keys) == 3
+    uniq = {k.tobytes() for k in seen_keys}
+    assert len(uniq) == 3, "augmentation keys must all be distinct"
