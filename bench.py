@@ -21,7 +21,8 @@ import numpy as np
 
 
 def bench_train_step(batch_size: int, dtype: str, steps: int,
-                     fading: bool = False, gp_every: int = 1):
+                     fading: bool = False, gp_every: int = 1,
+                     ada: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +31,10 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
     tc = TrainConfig(gp_every=gp_every)
+    aug_kwargs = {}
+    if ada:
+        from pgx.augment import AdaConfig, bgc_config
+        aug_kwargs = dict(augment_cfg=bgc_config(), ada_cfg=AdaConfig())
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
     res = 128
@@ -38,9 +43,11 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     labels = jnp.asarray(rng.randint(0, gcfg.num_classes, batch_size))
     alpha = jnp.float32(1.0)
 
-    train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading)
+    train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+                                 **aug_kwargs)
     nogp_step = (make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
-                                 apply_gp=False) if gp_every > 1 else None)
+                                 apply_gp=False, **aug_kwargs)
+                 if gp_every > 1 else None)
 
     # compile + warmup.  NOTE: on the axon-relay TPU platform
     # block_until_ready() returns before remote execution completes; only a
@@ -74,10 +81,13 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--gp-every", type=int, default=1,
                    help="lazy GP interval (1 = reference-exact)")
+    p.add_argument("--ada", action="store_true",
+                   help="bench with the full ADA pipeline (bgc policy, "
+                        "adaptive controller) wired into the step")
     args = p.parse_args()
 
     ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps,
-                                    gp_every=args.gp_every)
+                                    gp_every=args.gp_every, ada=args.ada)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -89,8 +99,11 @@ def main():
         if ref_ips:
             vs = ips / ref_ips
 
+    metric = "images_per_sec_per_chip_128px_cond_gd_step"
+    if args.ada:
+        metric += "_ada"
     print(json.dumps({
-        "metric": "images_per_sec_per_chip_128px_cond_gd_step",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -33,6 +33,7 @@ from jax.scipy.special import erfinv
 
 from pgx.ops.grid_sample import affine_grid, grid_sample
 from pgx.ops.upfirdn2d import downsample2d, upsample2d
+from pgx.ops.warp import ada_geom_warp_shear
 
 # Wavelet low-pass coefficients used by the pipeline (augment.py:22-39 table;
 # only the two filters the pipe consumes).
@@ -79,6 +80,14 @@ class AugmentConfig:
     cutout: float = 0.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+    # Geometric-warp backend: 'shear' = the gather-free multi-pass warp
+    # (pgx.ops.warp — matmuls + rolls, the TPU fast path; exact for every
+    # non-rotation transform); 'gather' = the grid_sample formulation that
+    # bit-matches the torch reference (the oracle / non-square fallback).
+    warp_impl: str = "shear"
+    # static shear-shift budget in units of half the output extent; 1.0
+    # covers all pure rotations (see pgx/ops/warp.py docstring)
+    shear_margin: float = 1.0
 
 
 def bgc_config(**overrides) -> AugmentConfig:
@@ -281,7 +290,6 @@ def augment_pipe(key: jax.Array, images: jnp.ndarray, cfg: AugmentConfig,
     # ---------------- execute geometric transform --------------------------
     if geom_active:
         hz_np = _hz_geom()
-        hz = jnp.asarray(hz_np)
         hz_pad = hz_np.shape[0] // 4
         # static worst-case reflect margin (reference clamps its data-
         # dependent margin to exactly this, augment.py:283)
@@ -290,25 +298,35 @@ def augment_pipe(key: jax.Array, images: jnp.ndarray, cfg: AugmentConfig,
                          mode="reflect")
         # symmetric pad => the (mx0-mx1)/2 origin shift is zero
 
-        images = upsample2d(images, hz, up=2)
-        s2 = _scale2d(jnp.full((b,), 2.0), jnp.full((b,), 2.0))
-        s2_inv = _scale2d(jnp.full((b,), 0.5), jnp.full((b,), 0.5))
-        t_half = _translate2d(jnp.full((b,), -0.5), jnp.full((b,), -0.5))
-        t_half_inv = _translate2d(jnp.full((b,), 0.5), jnp.full((b,), 0.5))
-        g_inv = s2 @ g_inv @ s2_inv
-        g_inv = t_half @ g_inv @ t_half_inv
+        if cfg.warp_impl == "shear" and height == width:
+            # gather-free fast path (pgx/ops/warp.py): same operator, built
+            # from matmuls + rolls instead of grid_sample's gathers
+            images = ada_geom_warp_shear(
+                images, g_inv[:, :2, :2], g_inv[:, :2, 2], (height, width),
+                hz_np, shear_margin=cfg.shear_margin)
+        else:
+            hz = jnp.asarray(hz_np)
+            images = upsample2d(images, hz, up=2)
+            s2 = _scale2d(jnp.full((b,), 2.0), jnp.full((b,), 2.0))
+            s2_inv = _scale2d(jnp.full((b,), 0.5), jnp.full((b,), 0.5))
+            t_half = _translate2d(jnp.full((b,), -0.5), jnp.full((b,), -0.5))
+            t_half_inv = _translate2d(jnp.full((b,), 0.5),
+                                      jnp.full((b,), 0.5))
+            g_inv = s2 @ g_inv @ s2_inv
+            g_inv = t_half @ g_inv @ t_half_inv
 
-        out_h = (height + hz_pad * 2) * 2
-        out_w = (width + hz_pad * 2) * 2
-        in_h, in_w = images.shape[1], images.shape[2]
-        sa = _scale2d(jnp.full((b,), 2 / in_w), jnp.full((b,), 2 / in_h))
-        sb = _scale2d(jnp.full((b,), out_w / 2), jnp.full((b,), out_h / 2))
-        g_inv = sa @ g_inv @ sb
+            out_h = (height + hz_pad * 2) * 2
+            out_w = (width + hz_pad * 2) * 2
+            in_h, in_w = images.shape[1], images.shape[2]
+            sa = _scale2d(jnp.full((b,), 2 / in_w), jnp.full((b,), 2 / in_h))
+            sb = _scale2d(jnp.full((b,), out_w / 2),
+                          jnp.full((b,), out_h / 2))
+            g_inv = sa @ g_inv @ sb
 
-        grid = affine_grid(g_inv[:, :2, :], (b, out_h, out_w))
-        images = grid_sample(images, grid)
-        images = downsample2d(images, hz, down=2, padding=-hz_pad * 2,
-                              flip_filter=True)
+            grid = affine_grid(g_inv[:, :2, :], (b, out_h, out_w))
+            images = grid_sample(images, grid)
+            images = downsample2d(images, hz, down=2, padding=-hz_pad * 2,
+                                  flip_filter=True)
 
     # ---------------- color transform C ------------------------------------
     eye4 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))

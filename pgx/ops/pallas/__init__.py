@@ -39,3 +39,4 @@ from pgx.ops.pallas.kernels import (  # noqa: F401,E402
     pixel_norm_lrelu_pallas,
     upfirdn2d_pallas,
 )
+from pgx.ops.pallas.shear import shift_1d_pallas  # noqa: F401,E402

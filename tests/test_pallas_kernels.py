@@ -153,3 +153,38 @@ def test_upfirdn2d_pallas_dispatch_is_differentiable(monkeypatch):
     gl = jax.grad(loss_pallas)(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gl),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# shear kernel (pgx/ops/pallas/shear.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("axis", [2, 3])
+def test_shift_1d_pallas_matches_jnp_ladder(axis):
+    from pgx.ops.pallas.shear import shift_1d_pallas
+    from pgx.ops.warp import _shift_1d_jnp
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (2, 3, 64, 128), jnp.float32)
+    lines = img.shape[2] if axis == 3 else img.shape[3]
+    shift = jax.random.normal(jax.random.PRNGKey(1), (2, lines)) * 40.0
+    want = _shift_1d_jnp(img, shift, axis)
+    got = shift_1d_pallas(img, shift, axis, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_shift_1d_pallas_vjp_is_negated_shift():
+    """The kernel's custom VJP reuses the forward with -shift; it must equal
+    autodiff through the jnp ladder."""
+    from pgx.ops.warp import _shift_1d_jnp
+    from pgx.ops.pallas.shear import shift_1d_pallas
+
+    key = jax.random.PRNGKey(2)
+    img = jax.random.normal(key, (2, 1, 32, 128), jnp.float32)
+    shift = jax.random.normal(jax.random.PRNGKey(3), (2, 32)) * 20.0
+    ct = jax.random.normal(jax.random.PRNGKey(4), img.shape, jnp.float32)
+
+    _, vjp = jax.vjp(lambda x: _shift_1d_jnp(x, shift, 3), img)
+    want = vjp(ct)[0]
+    got = shift_1d_pallas(ct, -shift, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
