@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset
+from pgx.cli.common import add_common_args, get_dataset, \
+    maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import LegacySchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -17,6 +18,7 @@ def main(argv=None):
                                      channels=128, total_iter=300000,
                                      max_step=3))
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.legacy_generator(z_dim=args.z_dim, channel=args.channels,
                                 pixel_norm=args.pixel_norm, tanh=args.tanh,

@@ -49,7 +49,26 @@ def add_common_args(p: argparse.ArgumentParser,
                    default=defaults.get("log_every", 500))
     p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
                    default=True)
+    # multi-host (DCN) launch: run one process per host with the same
+    # coordinator address; --batch-size is the GLOBAL batch
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (one process per host; "
+                        "batch-size is global, sharded over all hosts)")
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="host:port of process 0 (auto-detected on TPU pods "
+                        "when omitted)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def maybe_init_multihost(args) -> None:
+    """Call before any device use.  No-op without --multihost."""
+    if getattr(args, "multihost", False):
+        from pgx.parallel.distributed import initialize_multihost
+        pi, pc = initialize_multihost(args.coordinator_address,
+                                      args.num_processes, args.process_id)
+        print(f"multihost: process {pi}/{pc}", flush=True)
 
 
 def get_dataset(args, kind: str, num_classes: int = 0):

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset
+from pgx.cli.common import add_common_args, get_dataset, \
+    maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import LegacySchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -19,6 +20,7 @@ def main(argv=None):
                                      max_step=3))
     p.add_argument("--num-classes", type=int, default=10)
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.conditional_generator(
         z_dim=args.z_dim, num_classes=args.num_classes,

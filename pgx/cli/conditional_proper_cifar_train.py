@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset
+from pgx.cli.common import add_common_args, get_dataset, \
+    maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -31,6 +32,7 @@ def main(argv=None):
     p.add_argument("--ada-target", type=float, default=0.6)
     p.add_argument("--ada-length", type=int, default=500000)
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     if args.ada_heads:
         gcfg = zoo.conditional_correct_generator_ada(

@@ -8,7 +8,7 @@ import argparse
 
 import numpy as np
 
-from pgx.cli.common import add_common_args
+from pgx.cli.common import add_common_args, maybe_init_multihost
 from pgx.data import WikiArtDataset, synthetic_dataset
 from pgx.data.pipeline import array_batches, normalize_to_unit
 from pgx.models import zoo
@@ -46,6 +46,7 @@ def main(argv=None):
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.conditional_correct_generator(
         z_dim=args.z_dim, num_classes=args.num_classes,

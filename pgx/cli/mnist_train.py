@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset
+from pgx.cli.common import add_common_args, get_dataset, \
+    maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import LegacySchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -29,6 +30,7 @@ def main(argv=None):
     p.add_argument("--full-conv-blocks", action="store_true",
                    help="use two-conv blocks instead of MnistConvBlock")
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.mnist_generator(
         z_dim=args.z_dim, channel=args.channels, pixel_norm=args.pixel_norm,

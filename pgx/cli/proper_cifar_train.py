@@ -6,7 +6,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset
+from pgx.cli.common import add_common_args, get_dataset, \
+    maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -19,6 +20,7 @@ def main(argv=None):
                                      checkpoint_every=2000))
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.correct_generator(z_dim=args.z_dim, channel=args.channels,
                                  pixel_norm=args.pixel_norm, tanh=args.tanh,

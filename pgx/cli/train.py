@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args
+from pgx.cli.common import add_common_args, maybe_init_multihost
 from pgx.data import ImageFolderDataset, synthetic_dataset
 from pgx.data.pipeline import array_batches, folder_batches
 from pgx.models import zoo
@@ -23,6 +23,7 @@ def main(argv=None):
                                      channels=128, total_iter=300000,
                                      max_step=3))
     args = p.parse_args(argv)
+    maybe_init_multihost(args)
 
     gcfg = zoo.legacy_generator(z_dim=args.z_dim, channel=args.channels,
                                 pixel_norm=args.pixel_norm, tanh=args.tanh,

@@ -73,6 +73,10 @@ class DevicePrefetcher:
     def __init__(self, iterator, mesh=None, depth: int = 2):
         from pgx.parallel import batch_sharding
         self._sharding = batch_sharding(mesh) if mesh is not None else None
+        # multi-host: each process feeds its slice of the global batch and
+        # the shards are stitched into one global array (SURVEY.md 2.8 —
+        # the InfiniteSampler(rank, num_replicas) equivalent)
+        self._multihost = jax.process_count() > 1
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._iterator = iterator
         self._stop = threading.Event()
@@ -83,9 +87,14 @@ class DevicePrefetcher:
     def _put(self, batch):
         imgs, labels = batch
         if self._sharding is not None:
-            imgs = jax.device_put(imgs, self._sharding)
+            if self._multihost:
+                put = lambda a: jax.make_array_from_process_local_data(
+                    self._sharding, np.asarray(a))
+            else:
+                put = lambda a: jax.device_put(a, self._sharding)
+            imgs = put(imgs)
             if labels is not None:
-                labels = jax.device_put(labels, self._sharding)
+                labels = put(labels)
         return imgs, labels
 
     def _worker(self):

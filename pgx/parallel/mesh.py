@@ -62,6 +62,15 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-host safe: when the mesh spans processes, each host contributes
+    its (identical, same-seed) local copy via
+    ``make_array_from_process_local_data`` instead of ``device_put``."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        import numpy as _np
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, _np.asarray(a)), tree)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

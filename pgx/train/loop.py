@@ -88,6 +88,22 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     mesh = (make_mesh_for_batch(loop_cfg.batch_size)
             if loop_cfg.use_mesh else None)
 
+    # multi-host (DCN): loop_cfg.batch_size is the GLOBAL batch; each
+    # process assembles its slice (distinct data via a per-host seed
+    # offset), only process 0 touches the filesystem, and every process
+    # enters every jitted computation (SPMD requirement).  Call
+    # pgx.parallel.initialize_multihost before train_loop to enable.
+    n_hosts = jax.process_count()
+    is_main = jax.process_index() == 0
+    host_batch = loop_cfg.batch_size
+    host_seed = loop_cfg.seed
+    if n_hosts > 1:
+        if mesh is None:
+            raise ValueError("multi-host training requires use_mesh=True")
+        from pgx.parallel.distributed import host_batch_slice
+        host_batch, _, _ = host_batch_slice(loop_cfg.batch_size)
+        host_seed = loop_cfg.seed + 104729 * jax.process_index()
+
     key = jax.random.PRNGKey(loop_cfg.seed)
     state = init_train_state(key, gcfg, dcfg, tc)
     start_iter = 0
@@ -115,7 +131,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             state["d"] = ckpt.load_params(dpath)
             start_iter = ckpt.checkpoint_iteration(gpath)
             state["iteration"] = jnp.asarray(start_iter, jnp.int32)
-    else:
+    elif is_main:
         trial_dir, postfix = make_trial_dir(loop_cfg)
         from pgx.train.schedule import schedule_to_dict
         ckpt.save_config(trial_dir, gcfg, dcfg, tc,
@@ -126,9 +142,15 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         if loop_cfg.snapshot_sources:
             from pgx.utils.persistence import snapshot_sources
             snapshot_sources(trial_dir)
+    else:
+        # non-main hosts never write; keep a name for return value symmetry
+        trial_dir = os.path.join(loop_cfg.main_path,
+                                 f"trial_{loop_cfg.trial_name}_host"
+                                 f"{jax.process_index()}")
+        postfix = loop_cfg.trial_name
 
     log_path = os.path.join(trial_dir, f"train_log_{postfix}.txt")
-    if not os.path.exists(log_path):
+    if is_main and not os.path.exists(log_path):
         with open(log_path, "w") as f:
             f.write("iter,g,d,grad,alpha\n")
 
@@ -159,8 +181,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 if prefetcher is not None:
                     prefetcher.close()
                 prefetcher = DevicePrefetcher(
-                    batch_fn(dataset, loop_cfg.batch_size, st.resolution,
-                             seed=loop_cfg.seed + st.step), mesh)
+                    batch_fn(dataset, host_batch, st.resolution,
+                             seed=host_seed + st.step), mesh)
                 current_res = st.resolution
 
             imgs, labels = next(prefetcher)
@@ -191,17 +213,21 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 if gkey not in gen_cache:
                     gen_cache[gkey] = make_eval_generate(
                         gcfg, step=st.step, fading=st.fading)
+                # every process enters the jitted generate (SPMD); only the
+                # main host serializes the grid
                 images = gen_cache[gkey](
                     state["g_ema"], jnp.asarray(sample_z),
                     jnp.asarray(sample_labels)
                     if sample_labels is not None else None,
                     jnp.float32(st.alpha))
-                save_image_grid(
-                    os.path.join(trial_dir, "sample",
-                                 f"{str(it).zfill(3)}.png"),
-                    np.asarray(images), nrow=sample_nrow)
+                if is_main:
+                    save_image_grid(
+                        os.path.join(trial_dir, "sample",
+                                     f"{str(it).zfill(3)}.png"),
+                        np.asarray(images), nrow=sample_nrow)
 
-            if it % loop_cfg.checkpoint_every == 0 or i == start_iter:
+            if (it % loop_cfg.checkpoint_every == 0 or i == start_iter) \
+                    and is_main:
                 try:
                     ckpt.save_checkpoint(trial_dir, it, jax.device_get(state),
                                          full_state=loop_cfg.keep_full_state)
@@ -220,13 +246,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                        f"Grad: {vals.get('grad_penalty', 0):.3f}; "
                        f"Alpha: {st.alpha:.3f}; "
                        f"res {st.resolution}; {ips:.1f} img/s")
-                if loop_cfg.verbose:
+                if loop_cfg.verbose and is_main:
                     print(msg, flush=True)
-                with open(log_path, "a") as f:
-                    f.write(f"{it},{vals.get('g_loss', 0):.5f},"
-                            f"{vals.get('d_loss', 0):.5f},"
-                            f"{vals.get('grad_penalty', 0):.5f},"
-                            f"{st.alpha:.5f}\n")
+                if is_main:
+                    with open(log_path, "a") as f:
+                        f.write(f"{it},{vals.get('g_loss', 0):.5f},"
+                                f"{vals.get('d_loss', 0):.5f},"
+                                f"{vals.get('grad_penalty', 0):.5f},"
+                                f"{st.alpha:.5f}\n")
                 sums, count, gp_count, t_log = {}, 0, 0, time.time()
 
             if "on_iteration" in hooks:
@@ -235,6 +262,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         if prefetcher is not None:
             prefetcher.close()
 
-    ckpt.save_checkpoint(trial_dir, total, jax.device_get(state),
-                         full_state=loop_cfg.keep_full_state)
+    if is_main:
+        ckpt.save_checkpoint(trial_dir, total, jax.device_get(state),
+                             full_state=loop_cfg.keep_full_state)
     return trial_dir

@@ -1,0 +1,23 @@
+"""Subprocess worker for the multi-host training test: forces a 4-device CPU
+backend, then runs the real mnist_train CLI with --multihost.  Launched twice
+(process 0/1) by tests/test_multihost.py -> a 2-process x 4-device global
+mesh exercising jax.distributed init, per-host batch slicing, global-batch
+assembly, and main-host-only IO."""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from pgx.cli.mnist_train import main
+
+if __name__ == "__main__":
+    trial = main(sys.argv[1:])
+    # every process reports the replicated final D loss-scale invariants by
+    # printing OK; the launcher asserts both workers got here
+    print(f"MULTIHOST_OK process={jax.process_index()} trial={trial}",
+          flush=True)

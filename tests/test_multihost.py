@@ -1,0 +1,70 @@
+"""Multi-process (multi-host) training smoke: two OS processes, each with a
+4-device virtual CPU backend, train the mnist config over one 8-device
+global mesh via jax.distributed (Gloo CPU collectives).  Exercises
+pgx.parallel.distributed.initialize_multihost / host_batch_slice, the
+prefetcher's make_array_from_process_local_data path, multihost replicate(),
+and main-host-only filesystem IO (SURVEY.md section 2.8 / 5.8)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        argv = [
+            sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+            "--synthetic", "--multihost",
+            "--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--total-iter", "8", "--batch-size", "8", "--channels", "8",
+            "--max-step", "2", "--sample-every", "4",
+            "--checkpoint-every", "8", "--log-every", "4",
+            "--output", str(tmp_path),
+        ]
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+
+    # exactly one process (the main host) wrote the trial artifacts
+    trials = [d for d in os.listdir(tmp_path) if d.startswith("trial_")]
+    assert len(trials) == 1, trials
+    trial = os.path.join(tmp_path, trials[0])
+    ckpts = os.listdir(os.path.join(trial, "checkpoint"))
+    assert any(n.endswith("_g.model") for n in ckpts), ckpts
+    samples = os.listdir(os.path.join(trial, "sample"))
+    assert samples
+    # losses logged and finite
+    logs = [n for n in os.listdir(trial) if n.startswith("train_log")]
+    with open(os.path.join(trial, logs[0])) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) >= 2  # header + at least one row
+    for row in lines[1:]:
+        vals = [float(v) for v in row.split(",")[1:]]
+        assert all(abs(v) < 1e6 for v in vals), row
