@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset, \
+from pgx.cli.common import add_ada_args, ada_configs_from_args, \
+    add_common_args, get_dataset, \
     maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import LegacySchedule, TrainConfig
@@ -17,6 +18,7 @@ def main(argv=None):
     add_common_args(p, defaults=dict(trial_name="cifar", z_dim=128,
                                      channels=128, total_iter=300000,
                                      max_step=3))
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
@@ -34,8 +36,10 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh)
+    aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume)
+                           resume_dir=args.resume,
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.data import load_cifar10, load_mnist, synthetic_dataset
+from pgx.data import load_cifar10, load_mnist, load_sklearn_digits, \
+    synthetic_dataset
 
 
 def add_common_args(p: argparse.ArgumentParser,
@@ -72,6 +73,9 @@ def maybe_init_multihost(args) -> None:
 
 
 def get_dataset(args, kind: str, num_classes: int = 0):
+    if args.path == "sklearn-digits":
+        # real handwritten digits bundled with scikit-learn (no egress)
+        return load_sklearn_digits()
     if args.synthetic or args.path is None:
         channels = 1 if kind == "mnist" else 3
         return synthetic_dataset(n=max(4 * args.batch_size, 256), size=32,
@@ -82,3 +86,23 @@ def get_dataset(args, kind: str, num_classes: int = 0):
     if kind == "cifar10":
         return load_cifar10(args.path)
     raise ValueError(kind)
+
+
+def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """ADA pipeline flags — shared by every training CLI (the reference
+    shipped the pipeline but never wired it; SURVEY.md section 2.4)."""
+    p.add_argument("--ada", action="store_true",
+                   help="wire the ADA augmentation pipeline + adaptive-p "
+                        "controller (bgc policy)")
+    p.add_argument("--ada-target", type=float, default=0.6)
+    p.add_argument("--ada-length", type=int, default=500000)
+    return p
+
+
+def ada_configs_from_args(args):
+    """(augment_cfg, ada_cfg) for train_loop, or (None, None)."""
+    if not getattr(args, "ada", False):
+        return None, None
+    from pgx.augment import AdaConfig, bgc_config
+    return bgc_config(), AdaConfig(ada_target=args.ada_target,
+                                   ada_length=args.ada_length)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset, \
+from pgx.cli.common import add_ada_args, add_common_args, get_dataset, \
     maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
@@ -26,11 +26,7 @@ def main(argv=None):
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
     p.add_argument("--ada-heads", action="store_true")
-    p.add_argument("--ada", action="store_true",
-                   help="enable the ADA augmentation pipeline with the "
-                        "adaptive-p controller (bgc policy)")
-    p.add_argument("--ada-target", type=float, default=0.6)
-    p.add_argument("--ada-length", type=int, default=500000)
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 

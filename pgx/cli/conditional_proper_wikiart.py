@@ -8,7 +8,7 @@ import argparse
 
 import numpy as np
 
-from pgx.cli.common import add_common_args, maybe_init_multihost
+from pgx.cli.common import add_ada_args, add_common_args, ada_configs_from_args, maybe_init_multihost
 from pgx.data import WikiArtDataset, synthetic_dataset
 from pgx.data.pipeline import array_batches, normalize_to_unit
 from pgx.models import zoo
@@ -45,6 +45,7 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=14)
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
@@ -76,8 +77,10 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh)
+    aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume, batch_fn=batch_fn)
+                           resume_dir=args.resume, batch_fn=batch_fn,
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -17,7 +17,8 @@ import argparse
 import numpy as np
 
 from pgx import checkpoint as ckpt
-from pgx.data import load_cifar10, load_mnist, synthetic_dataset
+from pgx.data import load_cifar10, load_mnist, load_sklearn_digits, \
+    synthetic_dataset
 from pgx.eval import load_torch_weights, make_extractor, sweep_trial
 from pgx.train.schedule import schedule_from_dict
 
@@ -26,7 +27,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--trial", required=True, help="trial directory")
     p.add_argument("--dataset", default="synthetic",
-                   choices=["mnist", "cifar10", "synthetic"])
+                   choices=["mnist", "cifar10", "sklearn-digits",
+                            "synthetic"])
     p.add_argument("--path", default=None, help="dataset root")
     p.add_argument("--num-samples", type=int, default=2000)
     p.add_argument("--num-real", type=int, default=2000)
@@ -45,6 +47,8 @@ def main(argv=None):
 
     if args.dataset == "mnist":
         dataset = load_mnist(args.path)
+    elif args.dataset == "sklearn-digits":
+        dataset = load_sklearn_digits()
     elif args.dataset == "cifar10":
         dataset = load_cifar10(args.path)
     else:

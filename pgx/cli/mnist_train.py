@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset, \
+from pgx.cli.common import add_ada_args, ada_configs_from_args, \
+    add_common_args, get_dataset, \
     maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import LegacySchedule, TrainConfig
@@ -29,6 +30,7 @@ def main(argv=None):
                         "(reference default 100000)")
     p.add_argument("--full-conv-blocks", action="store_true",
                    help="use two-conv blocks instead of MnistConvBlock")
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
@@ -49,8 +51,10 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, tail_iterations=args.tail_iterations,
         use_mesh=args.use_mesh)
+    aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume)
+                           resume_dir=args.resume,
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, get_dataset, \
+from pgx.cli.common import add_ada_args, ada_configs_from_args, \
+    add_common_args, get_dataset, \
     maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
@@ -19,6 +20,7 @@ def main(argv=None):
                                      channels=512, max_step=4, tanh=False,
                                      checkpoint_every=2000))
     p.add_argument("--images-per-mini-step", type=int, default=800000)
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
@@ -38,8 +40,10 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh)
+    aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume)
+                           resume_dir=args.resume,
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

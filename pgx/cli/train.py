@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_common_args, maybe_init_multihost
+from pgx.cli.common import add_ada_args, add_common_args, ada_configs_from_args, maybe_init_multihost
 from pgx.data import ImageFolderDataset, synthetic_dataset
 from pgx.data.pipeline import array_batches, folder_batches
 from pgx.models import zoo
@@ -22,6 +22,7 @@ def main(argv=None):
     add_common_args(p, defaults=dict(trial_name="celeba", z_dim=128,
                                      channels=128, total_iter=300000,
                                      max_step=3))
+    add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
@@ -48,8 +49,10 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh)
+    aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-                           resume_dir=args.resume, batch_fn=batch_fn)
+                           resume_dir=args.resume, batch_fn=batch_fn,
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -6,6 +6,7 @@ from pgx.data.datasets import (  # noqa: F401
     WikiArtDataset,
     load_cifar10,
     load_mnist,
+    load_sklearn_digits,
     synthetic_dataset,
 )
 from pgx.data.pipeline import (  # noqa: F401

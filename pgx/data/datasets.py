@@ -105,6 +105,19 @@ def load_mnist(root: str, train: bool = True) -> ArrayDataset:
     return ArrayDataset(np.ascontiguousarray(images), labels, num_classes=10)
 
 
+def load_sklearn_digits() -> ArrayDataset:
+    """The UCI handwritten-digits set bundled with scikit-learn: 1797 real
+    8x8 grayscale digit images, no network needed.  The smallest real
+    dataset on which the MNIST-family configs train end-to-end — and,
+    being tiny, the ideal ADA demonstration (D overfits fast, so the
+    adaptive-p controller visibly engages)."""
+    from sklearn.datasets import load_digits
+    bunch = load_digits()
+    imgs = (bunch.images / 16.0 * 255.0).astype(np.uint8)[..., None]
+    labels = bunch.target.astype(np.int64)
+    return ArrayDataset(np.ascontiguousarray(imgs), labels, num_classes=10)
+
+
 def load_cifar10(root: str, train: bool = True) -> ArrayDataset:
     """Read the python-pickle batches (cifar-10-batches-py)."""
     base = os.path.join(root, "cifar-10-batches-py")

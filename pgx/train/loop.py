@@ -150,9 +150,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         postfix = loop_cfg.trial_name
 
     log_path = os.path.join(trial_dir, f"train_log_{postfix}.txt")
+    log_ada = augment_cfg is not None
     if is_main and not os.path.exists(log_path):
         with open(log_path, "w") as f:
-            f.write("iter,g,d,grad,alpha\n")
+            f.write("iter,g,d,grad,alpha" + (",ada_p" if log_ada else "")
+                    + "\n")
 
     if mesh is not None:
         state = replicate(mesh, state)
@@ -245,7 +247,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                        f"D: {vals.get('d_loss', 0):.3f}; "
                        f"Grad: {vals.get('grad_penalty', 0):.3f}; "
                        f"Alpha: {st.alpha:.3f}; "
-                       f"res {st.resolution}; {ips:.1f} img/s")
+                       + (f"AdaP: {vals.get('ada_p', 0):.3f}; "
+                          if log_ada else "")
+                       + f"res {st.resolution}; {ips:.1f} img/s")
                 if loop_cfg.verbose and is_main:
                     print(msg, flush=True)
                 if is_main:
@@ -253,7 +257,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                         f.write(f"{it},{vals.get('g_loss', 0):.5f},"
                                 f"{vals.get('d_loss', 0):.5f},"
                                 f"{vals.get('grad_penalty', 0):.5f},"
-                                f"{st.alpha:.5f}\n")
+                                f"{st.alpha:.5f}"
+                                + (f",{vals.get('ada_p', 0):.5f}"
+                                   if log_ada else "") + "\n")
                 sums, count, gp_count, t_log = {}, 0, 0, time.time()
 
             if "on_iteration" in hooks:

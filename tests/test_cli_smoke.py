@@ -67,6 +67,23 @@ def test_cli_conditional_proper_cifar_ada_heads(tmp_path):
                           "--num-classes", "3", "--ada-heads"])
 
 
+def test_cli_mnist_train_ada_on_digits(tmp_path):
+    """Real data end-to-end at micro scale: the sklearn-digits dataset
+    (`--path sklearn-digits`) through the legacy MNIST CLI with the ADA
+    pipeline + controller enabled — covers the ADA flags now shared by
+    every CLI (pgx/cli/common.py add_ada_args) and the ada_p log column."""
+    from pgx.cli.mnist_train import main
+    tiny = [a for a in TINY if a != "--synthetic"]
+    trial = main(tiny + ["--output", str(tmp_path), "--path",
+                         "sklearn-digits", "--total-iter", "4",
+                         "--max-step", "2", "--ada", "--ada-length", "100"])
+    assert os.listdir(os.path.join(trial, "checkpoint"))
+    log = [f for f in os.listdir(trial) if f.startswith("train_log")]
+    with open(os.path.join(trial, log[0])) as f:
+        header = f.readline().strip()
+    assert header.endswith(",ada_p")
+
+
 def test_cli_wikiart_synthetic(tmp_path):
     from pgx.cli.conditional_proper_wikiart import main
     _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",

@@ -100,6 +100,18 @@ def test_cifar_pickle_reader(tmp_path):
     assert ds.num_classes == 10
 
 
+def test_sklearn_digits_loader():
+    """The bundled real dataset: 1797 8x8 grayscale digits, full uint8
+    range, ten balanced classes."""
+    from pgx.data import load_sklearn_digits
+    ds = load_sklearn_digits()
+    assert ds.images.shape == (1797, 8, 8, 1)
+    assert ds.images.dtype == np.uint8
+    assert ds.images.max() > 200          # rescaled from 0..16 to 0..255
+    assert ds.num_classes == 10
+    assert set(np.unique(ds.labels)) == set(range(10))
+
+
 def test_inception_weight_loader_roundtrip(tmp_path):
     """load_torch_weights consumes a torchvision-named state_dict file and
     the loaded net reproduces the source parameters' forward."""
