@@ -207,3 +207,16 @@ def assert_grow_equivalence(small_params, small_cfg, big_params, big_cfg,
     b = generator_apply(big_params, big_cfg, z, labels, step=step)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
                                rtol=1e-5)
+
+
+def assert_grow_equivalence_d(small_params, small_cfg, big_params, big_cfg,
+                              img, labels=None, step: int = 1,
+                              atol: float = 1e-5) -> None:
+    """D half of the reference's check: the grown discriminator must score a
+    shared-step image identically (scripts/smaller_to_bigger_net_checkpoint_
+    load.py:80-92 compares `score` as well as the image)."""
+    from pgx.models.discriminator import discriminator_apply
+    a = discriminator_apply(small_params, small_cfg, img, labels, step=step)
+    b = discriminator_apply(big_params, big_cfg, img, labels, step=step)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
+                               rtol=1e-5)

@@ -14,6 +14,9 @@ def add_common_args(p: argparse.ArgumentParser,
                    help="dataset root (local files; no download)")
     p.add_argument("--synthetic", action="store_true",
                    help="use a synthetic dataset (no local data needed)")
+    p.add_argument("--limit-images", type=int, default=None,
+                   help="train on a class-balanced subset of N images "
+                        "(limited-data regimes: the setting ADA exists for)")
     p.add_argument("--trial-name", type=str,
                    default=defaults.get("trial_name", "trial"))
     p.add_argument("--output", "--main-path", dest="main_path", type=str,
@@ -75,17 +78,22 @@ def maybe_init_multihost(args) -> None:
 def get_dataset(args, kind: str, num_classes: int = 0):
     if args.path == "sklearn-digits":
         # real handwritten digits bundled with scikit-learn (no egress)
-        return load_sklearn_digits()
-    if args.synthetic or args.path is None:
+        ds = load_sklearn_digits()
+    elif args.synthetic or args.path is None:
         channels = 1 if kind == "mnist" else 3
-        return synthetic_dataset(n=max(4 * args.batch_size, 256), size=32,
-                                 channels=channels,
-                                 num_classes=num_classes, seed=args.seed)
-    if kind == "mnist":
-        return load_mnist(args.path)
-    if kind == "cifar10":
-        return load_cifar10(args.path)
-    raise ValueError(kind)
+        ds = synthetic_dataset(n=max(4 * args.batch_size, 256), size=32,
+                               channels=channels,
+                               num_classes=num_classes, seed=args.seed)
+    elif kind == "mnist":
+        ds = load_mnist(args.path)
+    elif kind == "cifar10":
+        ds = load_cifar10(args.path)
+    else:
+        raise ValueError(kind)
+    limit = getattr(args, "limit_images", None)
+    if limit:
+        ds = ds.subset(limit, seed=args.seed)
+    return ds
 
 
 def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:

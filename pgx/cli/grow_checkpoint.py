@@ -64,12 +64,18 @@ def main(argv=None):
     big_gp = ckpt.grow_params(small_gp, init_generator(kg, big_g))
     big_dp = ckpt.grow_params(small_dp, init_discriminator(kd, big_d))
 
-    # equivalence at the shared step (reference :79-92)
+    # equivalence at the shared step (reference :79-92): same z/label must
+    # produce the same image through G AND the same score through D.
     z = jax.random.normal(jax.random.PRNGKey(args.seed + 1), (4, gcfg.z_dim))
     labels = (jnp.zeros((4,), jnp.int32)
               if gcfg.conditioning != "none" else None)
     ckpt.assert_grow_equivalence(small_gp, gcfg, big_gp, big_g, z,
                                  labels=labels, step=args.check_step)
+    from pgx.models.generator import generator_apply
+    img = generator_apply(small_gp, gcfg, z, labels, step=args.check_step)
+    dlabels = labels if dcfg.conditioning != "none" else None
+    ckpt.assert_grow_equivalence_d(small_dp, dcfg, big_dp, big_d, img,
+                                   labels=dlabels, step=args.check_step)
 
     out_dir = args.out or args.trial.rstrip("/") + "_grown"
     os.makedirs(os.path.join(out_dir, "checkpoint"), exist_ok=True)

@@ -55,6 +55,23 @@ class ArrayDataset:
             self._cache[size] = _resize_batch(self.images, size)
         return self._cache[size]
 
+    def subset(self, n: int, seed: int = 0) -> "ArrayDataset":
+        """Deterministic subset of ``n`` images, class-balanced when labels
+        exist (limited-data training — the regime ADA was designed for)."""
+        n = min(n, len(self.images))
+        rng = np.random.RandomState(seed)
+        if self.labels is not None and self.num_classes:
+            per = max(n // self.num_classes, 1)
+            idx = np.concatenate([
+                rng.permutation(np.flatnonzero(self.labels == c))[:per]
+                for c in range(self.num_classes)])[:n]
+        else:
+            idx = rng.permutation(len(self.images))[:n]
+        idx = np.sort(idx)
+        labels = self.labels[idx] if self.labels is not None else None
+        return ArrayDataset(np.ascontiguousarray(self.images[idx]), labels,
+                            num_classes=self.num_classes)
+
 
 def synthetic_dataset(n: int = 512, size: int = 32, channels: int = 3,
                       num_classes: int = 0, seed: int = 0) -> ArrayDataset:

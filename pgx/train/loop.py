@@ -153,8 +153,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     log_ada = augment_cfg is not None
     if is_main and not os.path.exists(log_path):
         with open(log_path, "w") as f:
-            f.write("iter,g,d,grad,alpha" + (",ada_p" if log_ada else "")
-                    + "\n")
+            f.write("iter,g,d,grad,alpha"
+                    + (",ada_p,ada_r" if log_ada else "") + "\n")
 
     if mesh is not None:
         state = replicate(mesh, state)
@@ -258,7 +258,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                 f"{vals.get('d_loss', 0):.5f},"
                                 f"{vals.get('grad_penalty', 0):.5f},"
                                 f"{st.alpha:.5f}"
-                                + (f",{vals.get('ada_p', 0):.5f}"
+                                + (f",{vals.get('ada_p', 0):.5f},"
+                                   f"{vals.get('ada_r', 0):.5f}"
                                    if log_ada else "") + "\n")
                 sums, count, gp_count, t_log = {}, 0, 0, time.time()
 

@@ -198,6 +198,9 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         metrics = dict(d_aux)
         metrics["d_total"] = d_total
         metrics["ada_p"] = ada_state["p"]
+        # r_t overfitting signal (mean sign of D's real logits, ada/
+        # adapt_augm.py:41): logged so ADA-p trajectories can be explained.
+        metrics["ada_r"] = jnp.mean(jnp.sign(real_logits))
 
         # --- G update (every n_critic iters; same z, updated D) -----------
         if update_g:

@@ -81,7 +81,7 @@ def test_cli_mnist_train_ada_on_digits(tmp_path):
     log = [f for f in os.listdir(trial) if f.startswith("train_log")]
     with open(os.path.join(trial, log[0])) as f:
         header = f.readline().strip()
-    assert header.endswith(",ada_p")
+    assert header.endswith(",ada_p,ada_r")
 
 
 def test_cli_wikiart_synthetic(tmp_path):

@@ -112,6 +112,18 @@ def test_sklearn_digits_loader():
     assert set(np.unique(ds.labels)) == set(range(10))
 
 
+def test_dataset_subset_balanced():
+    from pgx.data import load_sklearn_digits
+    ds = load_sklearn_digits()
+    sub = ds.subset(200, seed=3)
+    assert len(sub) == 200
+    counts = np.bincount(sub.labels, minlength=10)
+    assert counts.min() == counts.max() == 20  # class-balanced
+    # deterministic
+    sub2 = ds.subset(200, seed=3)
+    np.testing.assert_array_equal(sub.images, sub2.images)
+
+
 def test_inception_weight_loader_roundtrip(tmp_path):
     """load_torch_weights consumes a torchvision-named state_dict file and
     the loaded net reproduces the source parameters' forward."""

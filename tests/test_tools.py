@@ -53,6 +53,42 @@ def test_grow_checkpoint_cli(tmp_path):
     assert "64" in params["blocks"]  # the new 64px stage exists
 
 
+def test_grow_checkpoint_cli_conditional(tmp_path):
+    """Growing a conditional trial: the label-plane D gains fresh embeddings
+    for the new resolutions while every trained plane copies over, and both
+    G images and D scores stay identical at the shared step (the CLI runs
+    the reference's dual image+score equivalence assert)."""
+    from pgx.data import synthetic_dataset
+    from pgx.models import zoo
+    from pgx.train import LegacySchedule, TrainConfig
+    from pgx.train.loop import LoopConfig, train_loop
+    from pgx.cli.grow_checkpoint import main
+    from pgx import checkpoint as ckpt
+
+    gcfg = zoo.conditional_generator(z_dim=8, channel=8, num_classes=3,
+                                     max_step=2)
+    dcfg = zoo.conditional_discriminator_wgangp(feat_dim=8, num_classes=3,
+                                                max_step=2)
+    schedule = LegacySchedule(8, 2, 1)
+    dataset = synthetic_dataset(n=32, size=16, channels=3, seed=0,
+                                num_classes=3)
+    loop_cfg = LoopConfig(trial_name="condgrow", main_path=str(tmp_path),
+                          batch_size=4, sample_every=100, checkpoint_every=6,
+                          log_every=100, verbose=False, total_iterations=8)
+    trial = train_loop(gcfg, dcfg, TrainConfig(), schedule, dataset,
+                       loop_cfg)
+
+    # legacy-family growth keeps the full channel plan and raises max_step
+    out = main(["--trial", trial, "--target-channels", "8,8,8,8,4,2,2",
+                "--target-max-step", "4", "--check-step", "1"])
+    big_d = ckpt.load_params(ckpt.latest_checkpoint(out, "d"))
+    small_d = ckpt.load_params(ckpt.latest_checkpoint(trial, "d"))
+    # trained planes copied, new-resolution plane freshly present
+    assert "64" in big_d["embeddings"]
+    np.testing.assert_array_equal(big_d["embeddings"]["8"]["w"],
+                                  small_d["embeddings"]["8"]["w"])
+
+
 def test_cut_to_square_prefers_salient_region():
     img = np.zeros((40, 120, 3), np.uint8)
     img[:, 90:110] = 255  # high-gradient block on the right
