@@ -6,6 +6,15 @@ times the full fused G+D WGAN-GP train step (fade and stabilize phases) and
 prints a table plus one JSON summary line.
 
     python benchmarks/stage_throughput.py [--batch-size 32] [--steps 10]
+
+Weak-scaling mode (``--weak-scaling``): fixes the per-device batch and
+measures the full sharded train step over growing device-count meshes
+(1, 2, 4, ... of the available devices).  On a real multi-chip slice this
+is the ICI scaling bench; on CPU run it with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` (plus forcing the
+cpu platform) to validate the mode functionally.
+
+    python benchmarks/stage_throughput.py --weak-scaling --step 6
 """
 
 from __future__ import annotations
@@ -28,6 +37,13 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gp-every", type=int, default=1)
+    p.add_argument("--weak-scaling", action="store_true",
+                   help="fixed per-device batch over growing device meshes")
+    p.add_argument("--step", type=int, default=6,
+                   help="growth stage for --weak-scaling (default: 128px)")
+    p.add_argument("--tiny", action="store_true",
+                   help="small non-flagship config (functional validation "
+                        "of --weak-scaling on CPU virtual devices)")
     args = p.parse_args()
 
     import jax
@@ -35,6 +51,9 @@ def main():
 
     from __graft_entry__ import _flagship_configs
     from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    if args.weak_scaling:
+        return weak_scaling(args)
 
     gcfg, dcfg = _flagship_configs(dtype=args.dtype)
     tc = TrainConfig(gp_every=args.gp_every)
@@ -70,6 +89,70 @@ def main():
     print(json.dumps({"metric": "per_stage_images_per_sec",
                       "batch_size": args.batch_size, "dtype": args.dtype,
                       "gp_every": args.gp_every, "stages": rows}))
+
+
+def weak_scaling(args):
+    """img/s and img/s/device at one stage, for meshes of 1, 2, 4, ...
+    devices with a fixed per-device batch (``--batch-size``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_configs
+    from pgx.parallel.mesh import make_mesh, replicate, shard_batch
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    if args.tiny:
+        from pgx.models import zoo
+        gcfg = zoo.conditional_correct_generator(
+            z_dim=16, num_classes=4, channel=16, max_step=6,
+            dtype=args.dtype)
+        dcfg = zoo.conditional_correct_discriminator_wgangp(
+            feat_dim=16, num_classes=4, max_step=6, dtype=args.dtype)
+    else:
+        gcfg, dcfg = _flagship_configs(dtype=args.dtype)
+    tc = TrainConfig(gp_every=args.gp_every)
+    step = min(args.step, gcfg.max_step)
+    res = gcfg.resolution(step)
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devices)]
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for n in counts:
+        mesh = make_mesh(devices[:n])
+        global_batch = args.batch_size * n
+        real = rng.randn(global_batch, res, res, 3).astype(np.float32)
+        labels = rng.randint(0, gcfg.num_classes, global_batch)
+        with mesh:
+            state = replicate(
+                mesh, init_train_state(jax.random.PRNGKey(0), gcfg, dcfg,
+                                       tc))
+            real_d, labels_d = shard_batch(mesh, real, jnp.asarray(labels))
+            fn = make_train_step(gcfg, dcfg, tc, step=step, fading=False,
+                                 donate=False)
+            s, m = fn(state, real_d, labels_d, jnp.float32(1.0))
+            float(m["d_total"])  # compile + completion barrier
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                s, m = fn(s, real_d, labels_d, jnp.float32(1.0))
+            float(m["d_total"])
+        dt = (time.perf_counter() - t0) / args.steps
+        ips = global_batch / dt
+        rows.append({"devices": n, "global_batch": global_batch,
+                     "ms_per_step": round(dt * 1e3, 1),
+                     "images_per_sec": round(ips, 1),
+                     "images_per_sec_per_device": round(ips / n, 1)})
+        print(f"{n:>3} device(s), batch {global_batch:>4}: "
+              f"{dt * 1e3:7.1f} ms  {ips:8.1f} img/s  "
+              f"({ips / n:7.1f} /device)", flush=True)
+
+    eff = (rows[-1]["images_per_sec_per_device"]
+           / rows[0]["images_per_sec_per_device"] if rows else 0.0)
+    print(json.dumps({"metric": "weak_scaling_images_per_sec",
+                      "stage": step, "resolution": res,
+                      "per_device_batch": args.batch_size,
+                      "dtype": args.dtype,
+                      "scaling_efficiency": round(eff, 3), "rows": rows}))
 
 
 if __name__ == "__main__":
