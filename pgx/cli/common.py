@@ -53,6 +53,12 @@ def add_common_args(p: argparse.ArgumentParser,
                    default=defaults.get("log_every", 500))
     p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
                    default=True)
+    p.add_argument("--checkpoint-backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="full-train-state format: npz/msgpack (default, "
+                        "portable) or orbax (async save, step-indexed); "
+                        "the {iter}_g.model / _d.model param files are "
+                        "written either way")
     # multi-host (DCN) launch: run one process per host with the same
     # coordinator address; --batch-size is the GLOBAL batch
     p.add_argument("--multihost", action="store_true",

@@ -57,7 +57,8 @@ def main(argv=None):
         trial_name=args.trial_name, main_path=args.main_path,
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
-        seed=args.seed, use_mesh=args.use_mesh)
+        seed=args.seed, use_mesh=args.use_mesh,
+        checkpoint_backend=args.checkpoint_backend)
     augment_cfg = ada_cfg = None
     if args.ada:
         from pgx.augment import AdaConfig, bgc_config

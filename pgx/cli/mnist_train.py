@@ -50,7 +50,8 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, tail_iterations=args.tail_iterations,
-        use_mesh=args.use_mesh)
+        use_mesh=args.use_mesh,
+        checkpoint_backend=args.checkpoint_backend)
     aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
                            resume_dir=args.resume,

@@ -49,6 +49,8 @@ class LoopConfig:
     sample_rows: int = 5
     sample_cols: int = 10
     keep_full_state: bool = True
+    checkpoint_backend: str = "npz"   # "npz" (msgpack full state) | "orbax"
+                                      # (async step-indexed full state)
     use_mesh: bool = True
     verbose: bool = True
     snapshot_sources: bool = True   # train.py:87-89 source snapshot
@@ -108,6 +110,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     state = init_train_state(key, gcfg, dcfg, tc)
     start_iter = 0
 
+    from pgx.checkpoint.orbax_backend import has_orbax_state
+    orbax_store = None
+    if loop_cfg.checkpoint_backend == "orbax" and is_main:
+        from pgx.checkpoint.orbax_backend import OrbaxStateStore
+
     if resume_dir is not None:
         trial_dir = resume_dir.rstrip("/")
         postfix = os.path.basename(trial_dir)[len("trial_"):]
@@ -115,7 +122,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
              if f.endswith("_state.msgpack")),
             key=lambda n: int(n.split("_")[0]))
-        if state_files:
+        if has_orbax_state(trial_dir):
+            from pgx.checkpoint.orbax_backend import OrbaxStateStore
+            store = OrbaxStateStore(trial_dir, async_save=False)
+            it = store.latest_iteration()
+            state = store.restore(it, jax.device_get(state))
+            store.close()
+            start_iter = int(state["iteration"])
+        elif state_files:
             path = os.path.join(trial_dir, "checkpoint", state_files[-1])
             state = ckpt.load_state(path, state)
             start_iter = int(state["iteration"])
@@ -231,8 +245,16 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             if (it % loop_cfg.checkpoint_every == 0 or i == start_iter) \
                     and is_main:
                 try:
-                    ckpt.save_checkpoint(trial_dir, it, jax.device_get(state),
-                                         full_state=loop_cfg.keep_full_state)
+                    use_orbax = loop_cfg.checkpoint_backend == "orbax"
+                    host_state = jax.device_get(state)
+                    ckpt.save_checkpoint(
+                        trial_dir, it, host_state,
+                        full_state=loop_cfg.keep_full_state
+                        and not use_orbax)
+                    if use_orbax and loop_cfg.keep_full_state:
+                        if orbax_store is None:
+                            orbax_store = OrbaxStateStore(trial_dir)
+                        orbax_store.save(it, host_state)
                 except OSError:
                     pass  # reference behavior: never die on a ckpt write
 
@@ -268,8 +290,17 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     finally:
         if prefetcher is not None:
             prefetcher.close()
+        if orbax_store is not None:
+            orbax_store.close()  # drain pending async saves
 
     if is_main:
-        ckpt.save_checkpoint(trial_dir, total, jax.device_get(state),
-                             full_state=loop_cfg.keep_full_state)
+        use_orbax = loop_cfg.checkpoint_backend == "orbax"
+        host_state = jax.device_get(state)
+        ckpt.save_checkpoint(trial_dir, total, host_state,
+                             full_state=loop_cfg.keep_full_state
+                             and not use_orbax)
+        if use_orbax and loop_cfg.keep_full_state:
+            store = OrbaxStateStore(trial_dir, async_save=False)
+            store.save(total, host_state)
+            store.close()
     return trial_dir

@@ -83,6 +83,29 @@ def test_model_only_resume(tmp_path):
         ckpt.latest_checkpoint(trial_dir, "g")) == 14
 
 
+def test_orbax_backend_save_and_resume(tmp_path):
+    """checkpoint_backend='orbax': full state goes through the async Orbax
+    store (no *_state.msgpack), param .model files still written, and
+    resume restores iteration/step from the Orbax state."""
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg.total_iterations = 12
+    loop_cfg.checkpoint_backend = "orbax"
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    names = os.listdir(os.path.join(trial_dir, "checkpoint"))
+    assert not any(n.endswith("_state.msgpack") for n in names)
+    assert any(n.endswith("_g.model") for n in names)
+    from pgx.checkpoint.orbax_backend import has_orbax_state
+    assert has_orbax_state(trial_dir)
+
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 16})
+    trial_dir2 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2,
+                            resume_dir=trial_dir)
+    assert trial_dir2 == trial_dir
+    assert ckpt.checkpoint_iteration(
+        ckpt.latest_checkpoint(trial_dir, "g")) == 16
+
+
 def test_checkpoint_roundtrip_and_grower(tmp_path):
     import jax
     import jax.numpy as jnp
