@@ -28,6 +28,8 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -110,6 +112,88 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_CONV_DIMNUMS,
     )
+    return y + p["b"].astype(x.dtype)
+
+
+# Bilinear 2x upsample as zero-stuff + 4-tap FIR (see pgx/ops/resize.py):
+# out = corr(dilate2(edge_pad(x,1)), F4), F4 = [1,3,3,1]/4 (symmetric).
+_UP_FIR = (0.25, 0.75, 0.75, 0.25)
+
+
+def equal_conv2d_up2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Fused ``equal_conv2d(p, upsample2x(x), padding=1)``.
+
+    upsample2x (bilinear, torch align_corners=False parity) is itself a
+    zero-stuffing + 4-tap FIR per axis, so upsample->3x3-conv is ONE conv
+    over the low-res input: correlate the dilated edge-padded input with the
+    composed 6x6 kernel K = W (*) F4xF4 (full convolution of the 3x3 kernel
+    with the separable upsample filter).  Exact linear composition — the
+    2x-resolution intermediate (the generator's largest tensors,
+    progan_modules.py:205) is never materialized in HBM; XLA lowers the
+    lhs_dilated conv onto the MXU directly.
+
+    Derivation (1-D): up[i] = sum_k F4[k] u[i+k] with u = dilate2(edge_pad
+    (x,1)); conv3-pad1 gives y[i] = sum_m K[m] u[i+m-1], K = conv_full(W,F4)
+    -> lhs_dilation=2, padding=(1,1), kernel 6, out length exactly 2H.
+    """
+    kh, kw, in_ch, out_ch = p["w"].shape
+    assert (kh, kw) == (3, 3), "fused up-conv is specialized to 3x3 kernels"
+    scale = math.sqrt(2.0 / (in_ch * kh * kw))
+    w = (p["w"] * scale).astype(x.dtype)
+
+    # Composed kernel: K[.,.,i,o] = full-conv of w[.,.,i,o] with F4xF4.
+    # Computed per step (w is a parameter) as one tiny conv: treat the
+    # (i,o) kernel planes as a batch of 3x3 images. F4 is symmetric, so
+    # correlation == convolution and no flip is needed.
+    f4 = jnp.asarray(np.outer(_UP_FIR, _UP_FIR), x.dtype)[:, :, None, None]
+    wi = w.transpose(2, 3, 0, 1).reshape(in_ch * out_ch, kh, kw, 1)
+    k6 = lax.conv_general_dilated(
+        wi, f4, window_strides=(1, 1), padding=((3, 3), (3, 3)),
+        dimension_numbers=_CONV_DIMNUMS)
+    k6 = k6.reshape(in_ch, out_ch, 6, 6).transpose(2, 3, 0, 1)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = lax.conv_general_dilated(
+        xp, k6, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2), dimension_numbers=_CONV_DIMNUMS)
+
+    # Border correction.  The sequential form zero-pads in UPSAMPLED space
+    # before the 3x3 conv; the composed conv instead keeps reading the FIR's
+    # natural extension one sample beyond each upsampled edge.  Those
+    # out-of-range samples have a closed form — ext_up[-1, :] row is exactly
+    # the 1-D W-upsample of x's first row (with corner pixels at the ends),
+    # and symmetrically for the other three edges — so subtracting their
+    # 3-tap conv contribution from the output border makes the fusion exact.
+    def corr1d(strip, taps):           # strip (B, L, C), taps (3, C, O)
+        return lax.conv_general_dilated(
+            strip, taps, window_strides=(1,), padding=((0, 0),),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+
+    def up1d(v):                        # (B, L, C) -> (B, 2L, C)
+        vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        even = 0.25 * vp[:, :-2] + 0.75 * vp[:, 1:-1]
+        odd = 0.75 * vp[:, 1:-1] + 0.25 * vp[:, 2:]
+        b, l, c = even.shape
+        return jnp.stack([even, odd], axis=2).reshape(b, 2 * l, c)
+
+    w3 = w                              # (3, 3, Cin, Cout), already scaled
+    top = jnp.concatenate([x[:, 0, :1], up1d(x[:, 0]), x[:, 0, -1:]], axis=1)
+    bot = jnp.concatenate([x[:, -1, :1], up1d(x[:, -1]), x[:, -1, -1:]],
+                          axis=1)
+    c_top = corr1d(top, w3[0])          # (B, 2W, O) for output row 0
+    c_bot = corr1d(bot, w3[2])          # for output row 2H-1
+    # column strips exclude corners (already counted in the row strips):
+    # zero-pad the in-range strip so the 3-tap window never reads a corner
+    left = jnp.pad(up1d(x[:, :, 0]), ((0, 0), (1, 1), (0, 0)))
+    right = jnp.pad(up1d(x[:, :, -1]), ((0, 0), (1, 1), (0, 0)))
+    c_left = corr1d(left, w3[:, 0])     # (B, 2H, O) for output col 0
+    c_right = corr1d(right, w3[:, 2])   # for output col 2W-1
+
+    h2, w2 = y.shape[1], y.shape[2]
+    y = y - jnp.pad(c_top[:, None], ((0, 0), (0, h2 - 1), (0, 0), (0, 0)))
+    y = y - jnp.pad(c_bot[:, None], ((0, 0), (h2 - 1, 0), (0, 0), (0, 0)))
+    y = y - jnp.pad(c_left[:, :, None], ((0, 0), (0, 0), (0, w2 - 1), (0, 0)))
+    y = y - jnp.pad(c_right[:, :, None], ((0, 0), (0, 0), (w2 - 1, 0), (0, 0)))
     return y + p["b"].astype(x.dtype)
 
 
@@ -211,10 +295,17 @@ def conv_block_init(key, in_ch: int, out_ch: int, kernel1: int = 3,
 
 def conv_block(p: Params, x: jnp.ndarray, padding1: int = 1,
                padding2: Optional[int] = None, use_pixel_norm: bool = True,
-               slope: float = 0.2) -> jnp.ndarray:
-    """[EqualConv2d -> PixelNorm? -> LeakyReLU] x2."""
+               slope: float = 0.2, upsample_first: bool = False) -> jnp.ndarray:
+    """[EqualConv2d -> PixelNorm? -> LeakyReLU] x2.
+
+    ``upsample_first`` fuses a preceding bilinear upsample2x into conv1
+    (exact; see equal_conv2d_up2x) — the caller passes the LOW-res input.
+    """
     padding2 = padding1 if padding2 is None else padding2
-    x = equal_conv2d(p["conv1"], x, padding=padding1)
+    if upsample_first:
+        x = equal_conv2d_up2x(p["conv1"], x)
+    else:
+        x = equal_conv2d(p["conv1"], x, padding=padding1)
     if use_pixel_norm:
         x = pixel_norm(x)
     x = leaky_relu(x, slope)
@@ -232,9 +323,12 @@ def single_conv_block_init(key, in_ch: int, out_ch: int,
 
 
 def single_conv_block(p: Params, x: jnp.ndarray, padding: int = 1,
-                      use_pixel_norm: bool = True,
-                      slope: float = 0.2) -> jnp.ndarray:
-    x = equal_conv2d(p["conv1"], x, padding=padding)
+                      use_pixel_norm: bool = True, slope: float = 0.2,
+                      upsample_first: bool = False) -> jnp.ndarray:
+    if upsample_first:
+        x = equal_conv2d_up2x(p["conv1"], x)
+    else:
+        x = equal_conv2d(p["conv1"], x, padding=padding)
     if use_pixel_norm:
         x = pixel_norm(x)
     return leaky_relu(x, slope)

@@ -50,6 +50,11 @@ class GeneratorConfig:
     embed_dim: int = 0                # 0 -> sensible default in init
     equal_embed: bool = False
     dtype: str = "float32"
+    # fuse upsample2x into the following 3x3 conv (exact linear composition,
+    # pgx/core/layers.py equal_conv2d_up2x) for stages whose low-res input
+    # is at least this size; measured cutover on TPU v5e is 32 (below it the
+    # lhs_dilated conv loses to the two-pass form). 0 disables.
+    fuse_up_conv_min_size: int = 32
 
     def __post_init__(self):
         assert self.arch in ("legacy", "proper")

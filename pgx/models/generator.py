@@ -73,7 +73,7 @@ def init_generator(key: jax.Array, cfg: GeneratorConfig) -> Params:
 
 
 def _block(params: Params, cfg: GeneratorConfig, k: int,
-           x: jnp.ndarray) -> jnp.ndarray:
+           x: jnp.ndarray, upsample_first: bool = False) -> jnp.ndarray:
     res = str(4 * 2 ** k)
     p = params["blocks"][res]
     if k == 0 and cfg.arch == "proper":
@@ -82,8 +82,10 @@ def _block(params: Params, cfg: GeneratorConfig, k: int,
         return L.single_conv_block(p, x, padding=1, use_pixel_norm=True)
     if cfg.block_type == "single":
         return L.single_conv_block(p, x, padding=1,
-                                   use_pixel_norm=cfg.pixel_norm)
-    return L.conv_block(p, x, use_pixel_norm=cfg.pixel_norm)
+                                   use_pixel_norm=cfg.pixel_norm,
+                                   upsample_first=upsample_first)
+    return L.conv_block(p, x, use_pixel_norm=cfg.pixel_norm,
+                        upsample_first=upsample_first)
 
 
 def _to_rgb(params: Params, k: int, x: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +121,14 @@ def generator_apply(params: Params, cfg: GeneratorConfig, z: jnp.ndarray,
     out_stage = cfg.out_stage(step)
     feats = {0: x}
     for k in range(1, out_stage + 1):
-        x = _block(params, cfg, k, upsample2x(x))
+        # static dispatch: fuse upsample2x into the block's 3x3 conv1 once
+        # the input is large enough for the lhs_dilated form to win on TPU
+        # (exact composition either way; see equal_conv2d_up2x)
+        if (cfg.fuse_up_conv_min_size
+                and x.shape[1] >= cfg.fuse_up_conv_min_size):
+            x = _block(params, cfg, k, x, upsample_first=True)
+        else:
+            x = _block(params, cfg, k, upsample2x(x))
         feats[k] = x
 
     # Output head. Fade only when statically enabled AND the stage supports

@@ -150,3 +150,53 @@ def test_conv_block_shapes_and_final_block():
     xf = jax.random.normal(_key(12), (2, 4, 4, 9))
     out = conv_block(pf, xf, padding1=1, padding2=0)
     assert out.shape == (2, 1, 1, 8)
+
+
+def test_fused_upsample_conv_exact():
+    """equal_conv2d_up2x == equal_conv2d(upsample2x(x), padding=1) exactly
+    (one lhs_dilated conv with the composed 6x6 kernel + border correction;
+    both linear, so the composition is exact up to f32 rounding) — values
+    and gradients, odd and even sizes."""
+    from pgx.core.layers import equal_conv2d_up2x
+    from pgx.ops import upsample2x
+
+    for i, (h, w) in enumerate([(7, 9), (8, 8), (16, 16)]):
+        p = equal_conv2d_init(_key(20 + i), 5, 7, 3)
+        x = jax.random.normal(_key(30 + i), (2, h, w, 5), jnp.float32)
+        ref = equal_conv2d(p, upsample2x(x), padding=1)
+        got = equal_conv2d_up2x(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        g_ref, gw_ref = jax.grad(
+            lambda xx, pp: jnp.sum(jnp.tanh(
+                equal_conv2d(pp, upsample2x(xx), padding=1))),
+            argnums=(0, 1))(x, p)
+        g_got, gw_got = jax.grad(
+            lambda xx, pp: jnp.sum(jnp.tanh(equal_conv2d_up2x(pp, xx))),
+            argnums=(0, 1))(x, p)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_got["w"]),
+                                   np.asarray(gw_ref["w"]),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_generator_fused_up_conv_dispatch_matches():
+    """G output is identical whether the fused up-conv dispatch is on
+    (forced at every stage) or off."""
+    import dataclasses
+    from pgx.models import zoo
+    from pgx.models.generator import generator_apply, init_generator
+
+    base = zoo.correct_generator(z_dim=16, channel=16)
+    on = dataclasses.replace(base, fuse_up_conv_min_size=4)
+    off = dataclasses.replace(base, fuse_up_conv_min_size=0)
+    params = init_generator(_key(40), base)
+    z = jax.random.normal(_key(41), (3, 16))
+    for step, fading in [(3, False), (4, True)]:
+        a = generator_apply(params, on, z, step=step, alpha=0.7,
+                            fading=fading)
+        b = generator_apply(params, off, z, step=step, alpha=0.7,
+                            fading=fading)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-6, rtol=1e-5)
