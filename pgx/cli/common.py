@@ -30,6 +30,11 @@ def add_common_args(p: argparse.ArgumentParser,
     p.add_argument("--batch-size", type=int,
                    default=defaults.get("batch_size", 4))
     p.add_argument("--n-critic", type=int, default=1)
+    p.add_argument("--gp-every", type=int, default=1,
+                   help="lazy regularization: apply the gradient penalty "
+                        "every N iterations with lambda scaled by N "
+                        "(1 = reference-exact; 4 trains ~1.4x faster, "
+                        "convergence-checked in benchmarks/README.md)")
     p.add_argument("--init-step", type=int,
                    default=defaults.get("init_step", 1))
     p.add_argument("--max-step", type=int,

@@ -31,7 +31,8 @@ def main(argv=None):
     dcfg = zoo.mnist_conditional_discriminator_wgangp(
         feat_dim=args.channels, num_classes=args.num_classes,
         dtype=args.dtype)
-    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic)
+    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
+                     gp_every=args.gp_every)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
     dataset = get_dataset(args, "mnist", num_classes=args.num_classes)
 

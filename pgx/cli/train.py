@@ -31,7 +31,8 @@ def main(argv=None):
                                 max_step=args.max_step, dtype=args.dtype)
     dcfg = zoo.legacy_discriminator(feat_dim=args.channels,
                                     max_step=args.max_step, dtype=args.dtype)
-    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic)
+    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
+                     gp_every=args.gp_every)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
 
     if args.synthetic or args.path is None:

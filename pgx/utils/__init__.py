@@ -4,6 +4,7 @@ import sys
 from typing import Any
 
 from pgx.utils.png import make_grid, save_image_grid, to_uint8, write_png  # noqa: F401
+from pgx.utils.url import is_url, open_url  # noqa: F401
 
 
 class EasyDict(dict):

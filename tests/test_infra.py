@@ -173,3 +173,64 @@ def test_augment_matrix_helpers_stay_f32_under_x64():
         warnings.simplefilter("error", FutureWarning)
         out = augment_pipe(key, imgs, cfg, 0.9)
     assert out.dtype == jnp.float32
+
+
+def test_open_url_local_http_cache_and_retry(tmp_path):
+    """open_url parity (ada/dnnlib/util.py:382-451) against a local HTTP
+    server: md5-keyed caching, atomic commit, retry on transient failure,
+    file:// and plain-path passthrough."""
+    import http.server
+    import os
+    import threading
+
+    from pgx.utils import is_url, open_url
+
+    payload = b"pgx-test-payload"
+    fails = {"n": 2}  # first two requests fail -> exercises the retry loop
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.endswith("flaky") and fails["n"] > 0:
+                fails["n"] -= 1
+                self.send_error(503)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert is_url(f"{base}/weights.pth")
+        assert not is_url("/plain/path.bin")
+
+        cache = str(tmp_path / "cache")
+        with open_url(f"{base}/weights.pth", cache_dir=cache,
+                      verbose=False) as f:
+            assert f.read() == payload
+        cached = os.listdir(cache)
+        assert len(cached) == 1 and cached[0].endswith("_weights.pth")
+
+        # second call is served from cache (kill the server to prove it)
+        name = open_url(f"{base}/weights.pth", cache_dir=cache,
+                        verbose=False, return_filename=True)
+        assert open(name, "rb").read() == payload
+
+        # retry loop survives two 503s
+        with open_url(f"{base}/flaky", cache_dir=cache, num_attempts=5,
+                      verbose=False) as f:
+            assert f.read() == payload
+    finally:
+        srv.shutdown()
+
+    # passthroughs
+    p = tmp_path / "local.bin"
+    p.write_bytes(b"xyz")
+    assert open_url(str(p), verbose=False).read() == b"xyz"
+    assert open_url(p.as_uri(), verbose=False).read() == b"xyz"
