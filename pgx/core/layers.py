@@ -103,7 +103,7 @@ def equal_conv2d_init(key, in_ch: int, out_ch: int, kernel: int) -> Params:
 
 
 def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
-                 stride: int = 1) -> jnp.ndarray:
+                 stride: int = 1, bias: bool = True) -> jnp.ndarray:
     kh, kw, in_ch, _ = p["w"].shape
     scale = math.sqrt(2.0 / (in_ch * kh * kw))
     w = (p["w"] * scale).astype(x.dtype)
@@ -112,6 +112,8 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_CONV_DIMNUMS,
     )
+    if not bias:
+        return y  # caller fuses the bias into the epilogue
     return y + p["b"].astype(x.dtype)
 
 
@@ -120,7 +122,8 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
 _UP_FIR = (0.25, 0.75, 0.75, 0.25)
 
 
-def equal_conv2d_up2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def equal_conv2d_up2x(p: Params, x: jnp.ndarray,
+                      bias: bool = True) -> jnp.ndarray:
     """Fused ``equal_conv2d(p, upsample2x(x), padding=1)``.
 
     upsample2x (bilinear, torch align_corners=False parity) is itself a
@@ -142,15 +145,25 @@ def equal_conv2d_up2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = (p["w"] * scale).astype(x.dtype)
 
     # Composed kernel: K[m,n,i,o] = sum_{j,l} F4[m-j] F4[n-l] w[j,l,i,o]
-    # (full convolution of each 3x3 plane with F4xF4).  Expressed as two
-    # tiny matmuls against the static (6,3) band matrix A[m,j] = F4[m-j] —
-    # a batched-conv formulation of the same composition profiled ~10x
-    # slower (IO-batch of 3x3 single-channel images tiles terribly).
-    band = np.zeros((6, 3), np.float32)
-    for j in range(3):
-        band[j:j + 4, j] = _UP_FIR
-    a = jnp.asarray(band, x.dtype)
-    k6 = jnp.einsum("mj,nl,jlio->mnio", a, a, w)
+    # (full convolution of each 3x3 plane with F4xF4).  The band structure
+    # is expanded to explicit weighted sums — profiled faster than both a
+    # batched-conv formulation (IO-batch of 3x3 single-channel images,
+    # ~10x) and a band-matrix matmul (6x3 operands pad MXU tiles terribly).
+    f = _UP_FIR
+
+    def band_mix(t):
+        # (3, ...) -> (6, ...): out[m] = sum_j F4[m-j] t[j]
+        return jnp.stack([
+            f[0] * t[0],
+            f[1] * t[0] + f[0] * t[1],
+            f[2] * t[0] + f[1] * t[1] + f[0] * t[2],
+            f[3] * t[0] + f[2] * t[1] + f[1] * t[2],
+            f[3] * t[1] + f[2] * t[2],
+            f[3] * t[2],
+        ])
+
+    k6 = band_mix(jnp.swapaxes(band_mix(w), 0, 1))
+    k6 = jnp.swapaxes(k6, 0, 1)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = lax.conv_general_dilated(
@@ -194,6 +207,8 @@ def equal_conv2d_up2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = y - jnp.pad(c_bot[:, None], ((0, 0), (h2 - 1, 0), (0, 0), (0, 0)))
     y = y - jnp.pad(c_left[:, :, None], ((0, 0), (0, 0), (0, w2 - 1), (0, 0)))
     y = y - jnp.pad(c_right[:, :, None], ((0, 0), (0, 0), (w2 - 1, 0), (0, 0)))
+    if not bias:
+        return y  # caller fuses the bias into the epilogue
     return y + p["b"].astype(x.dtype)
 
 
@@ -293,6 +308,33 @@ def conv_block_init(key, in_ch: int, out_ch: int, kernel1: int = 3,
     }
 
 
+def conv_epilogue(y: jnp.ndarray, b: jnp.ndarray, use_pixel_norm: bool,
+                  slope: float = 0.2) -> jnp.ndarray:
+    """bias -> PixelNorm? -> LeakyReLU on a pre-bias conv output.
+
+    A one-pass Pallas kernel exists (pgx/ops/pallas/epilogue.py) and wins
+    in isolation (XLA lowers this chain as three read+write fusions), but
+    measured END-TO-END it loses: its custom_jvp linearization
+    materializes the (a, r) coefficient tensors as residuals that XLA's
+    native VJP would recompute inside fused backward kernels, costing
+    more HBM traffic than the fused forward saves (130 -> 105 img/s at
+    the 128px flagship).  It therefore stays opt-in (PGX_USE_PALLAS=1,
+    e.g. for no-grad inference paths); the XLA composition is the
+    default and the oracle.
+    """
+    if use_pixel_norm:
+        from pgx.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            from pgx.ops.pallas.epilogue import (bias_pixelnorm_lrelu,
+                                                 supported)
+            if supported(y):
+                return bias_pixelnorm_lrelu(y, b, slope)
+    y = y + b.astype(y.dtype)
+    if use_pixel_norm:
+        y = pixel_norm(y)
+    return leaky_relu(y, slope)
+
+
 def conv_block(p: Params, x: jnp.ndarray, padding1: int = 1,
                padding2: Optional[int] = None, use_pixel_norm: bool = True,
                slope: float = 0.2, upsample_first: bool = False) -> jnp.ndarray:
@@ -303,16 +345,12 @@ def conv_block(p: Params, x: jnp.ndarray, padding1: int = 1,
     """
     padding2 = padding1 if padding2 is None else padding2
     if upsample_first:
-        x = equal_conv2d_up2x(p["conv1"], x)
+        x = equal_conv2d_up2x(p["conv1"], x, bias=False)
     else:
-        x = equal_conv2d(p["conv1"], x, padding=padding1)
-    if use_pixel_norm:
-        x = pixel_norm(x)
-    x = leaky_relu(x, slope)
-    x = equal_conv2d(p["conv2"], x, padding=padding2)
-    if use_pixel_norm:
-        x = pixel_norm(x)
-    x = leaky_relu(x, slope)
+        x = equal_conv2d(p["conv1"], x, padding=padding1, bias=False)
+    x = conv_epilogue(x, p["conv1"]["b"], use_pixel_norm, slope)
+    x = equal_conv2d(p["conv2"], x, padding=padding2, bias=False)
+    x = conv_epilogue(x, p["conv2"]["b"], use_pixel_norm, slope)
     return x
 
 
@@ -326,9 +364,7 @@ def single_conv_block(p: Params, x: jnp.ndarray, padding: int = 1,
                       use_pixel_norm: bool = True, slope: float = 0.2,
                       upsample_first: bool = False) -> jnp.ndarray:
     if upsample_first:
-        x = equal_conv2d_up2x(p["conv1"], x)
+        x = equal_conv2d_up2x(p["conv1"], x, bias=False)
     else:
-        x = equal_conv2d(p["conv1"], x, padding=padding)
-    if use_pixel_norm:
-        x = pixel_norm(x)
-    return leaky_relu(x, slope)
+        x = equal_conv2d(p["conv1"], x, padding=padding, bias=False)
+    return conv_epilogue(x, p["conv1"]["b"], use_pixel_norm, slope)

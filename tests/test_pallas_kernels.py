@@ -188,3 +188,62 @@ def test_shift_1d_pallas_vjp_is_negated_shift():
     want = vjp(ct)[0]
     got = shift_1d_pallas(ct, -shift, 3, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_epilogue_matches_composition():
+    """bias_pixelnorm_lrelu (one-pass epilogue kernel) == bias + pixel_norm
+    + leaky_relu composition, values and grads (f32, interpret mode)."""
+    from pgx.core.layers import leaky_relu, pixel_norm
+    from pgx.ops.pallas.epilogue import bias_pixelnorm_lrelu, supported
+
+    y = jnp.asarray(_rand((2, 4, 4, 128), seed=5))
+    b = jnp.asarray(_rand((128,), seed=6))
+    assert supported(y)
+
+    def ref(yy, bb):
+        return leaky_relu(pixel_norm(yy + bb.astype(yy.dtype)), 0.2)
+
+    got = bias_pixelnorm_lrelu(y, b, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(y, b)),
+                               atol=1e-6, rtol=1e-5)
+
+    gy_r, gb_r = jax.grad(lambda a, c: jnp.sum(jnp.tanh(ref(a, c))),
+                          argnums=(0, 1))(y, b)
+    gy_p, gb_p = jax.grad(
+        lambda a, c: jnp.sum(jnp.tanh(bias_pixelnorm_lrelu(a, c, 0.2))),
+        argnums=(0, 1))(y, b)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_epilogue_unsupported_shapes():
+    from pgx.ops.pallas.epilogue import supported
+    assert not supported(jnp.zeros((2, 4, 4, 96)))      # C not /128
+    assert not supported(jnp.zeros((3, 1, 1, 128)))     # rows not /8
+    assert not supported(jnp.zeros((8, 4, 4, 128), jnp.float64))
+
+
+def test_fused_epilogue_double_grad():
+    """The WGAN-GP pattern: reverse-differentiate the reverse gradient of
+    a function containing the fused epilogue (custom_jvp rule must be
+    differentiable) — matches the XLA composition."""
+    from pgx.core.layers import leaky_relu, pixel_norm
+    from pgx.ops.pallas.epilogue import bias_pixelnorm_lrelu
+
+    y = jnp.asarray(_rand((2, 2, 2, 128), seed=7))
+    b = jnp.asarray(_rand((128,), seed=8))
+
+    def gp(fn):
+        def loss(bb):
+            gx = jax.grad(lambda xx: jnp.sum(fn(xx, bb)))(y)
+            n = jnp.sqrt(jnp.sum(jnp.square(gx), axis=(1, 2, 3)))
+            return jnp.mean(jnp.square(n - 1.0))
+        return jax.grad(loss)(b)
+
+    ref = gp(lambda xx, bb: leaky_relu(
+        pixel_norm(xx + bb.astype(xx.dtype)), 0.2))
+    got = gp(lambda xx, bb: bias_pixelnorm_lrelu(xx, bb, 0.2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
