@@ -88,8 +88,9 @@ def maybe_init_multihost(args) -> None:
 
 def get_dataset(args, kind: str, num_classes: int = 0):
     if args.path == "sklearn-digits":
-        # real handwritten digits bundled with scikit-learn (no egress)
-        ds = load_sklearn_digits()
+        # real handwritten digits bundled with scikit-learn (no egress);
+        # replicated to RGB for the color model families
+        ds = load_sklearn_digits(rgb=(kind != "mnist"))
     elif args.synthetic or args.path is None:
         channels = 1 if kind == "mnist" else 3
         ds = synthetic_dataset(n=max(4 * args.batch_size, 256), size=32,

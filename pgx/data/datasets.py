@@ -122,15 +122,19 @@ def load_mnist(root: str, train: bool = True) -> ArrayDataset:
     return ArrayDataset(np.ascontiguousarray(images), labels, num_classes=10)
 
 
-def load_sklearn_digits() -> ArrayDataset:
+def load_sklearn_digits(rgb: bool = False) -> ArrayDataset:
     """The UCI handwritten-digits set bundled with scikit-learn: 1797 real
     8x8 grayscale digit images, no network needed.  The smallest real
     dataset on which the MNIST-family configs train end-to-end — and,
     being tiny, the ideal ADA demonstration (D overfits fast, so the
-    adaptive-p controller visibly engages)."""
+    adaptive-p controller visibly engages).  ``rgb`` replicates the gray
+    channel to 3 so the RGB model families (legacy/proper CIFAR-style)
+    can train on real data too."""
     from sklearn.datasets import load_digits
     bunch = load_digits()
     imgs = (bunch.images / 16.0 * 255.0).astype(np.uint8)[..., None]
+    if rgb:
+        imgs = np.repeat(imgs, 3, axis=-1)
     labels = bunch.target.astype(np.int64)
     return ArrayDataset(np.ascontiguousarray(imgs), labels, num_classes=10)
 

@@ -110,6 +110,9 @@ def test_sklearn_digits_loader():
     assert ds.images.max() > 200          # rescaled from 0..16 to 0..255
     assert ds.num_classes == 10
     assert set(np.unique(ds.labels)) == set(range(10))
+    rgb = load_sklearn_digits(rgb=True)
+    assert rgb.images.shape == (1797, 8, 8, 3)
+    np.testing.assert_array_equal(rgb.images[..., 0], rgb.images[..., 2])
 
 
 def test_dataset_subset_balanced():
