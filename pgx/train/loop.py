@@ -118,6 +118,26 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     if resume_dir is not None:
         trial_dir = resume_dir.rstrip("/")
         postfix = os.path.basename(trial_dir)[len("trial_"):]
+        if is_main:  # a grown/imported trial dir may lack the subdirs
+            os.makedirs(os.path.join(trial_dir, "sample"), exist_ok=True)
+            os.makedirs(os.path.join(trial_dir, "checkpoint"), exist_ok=True)
+        # Reference semantics: resume reloads the trial's config JSON and
+        # trains THAT architecture (load_saved_config,
+        # proper_cifar_train.py:55-69) — the CLI's model args may drift
+        # (e.g. resuming a grown checkpoint whose channel plan differs).
+        try:
+            saved = ckpt.configs_from_dict(ckpt.load_config(trial_dir))
+        except (FileNotFoundError, KeyError, TypeError):
+            saved = None
+        if saved is not None and (saved[0] != gcfg or saved[1] != dcfg):
+            import warnings
+            warnings.warn(
+                "resume: model configs in the trial's train_config JSON "
+                "differ from the configured ones; using the saved configs "
+                "(reference resume semantics)", RuntimeWarning)
+            gcfg, dcfg = saved[0], saved[1]
+            key = jax.random.PRNGKey(loop_cfg.seed)
+            state = init_train_state(key, gcfg, dcfg, tc)
         state_files = sorted(
             (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
              if f.endswith("_state.msgpack")),

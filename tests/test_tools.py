@@ -88,6 +88,19 @@ def test_grow_checkpoint_cli_conditional(tmp_path):
     np.testing.assert_array_equal(big_d["embeddings"]["8"]["w"],
                                   small_d["embeddings"]["8"]["w"])
 
+    # grow-then-continue-training: resuming the grown trial must train the
+    # GROWN architecture even when the caller passes the (stale) small
+    # configs — reference resume semantics reload the trial's config JSON
+    # (proper_cifar_train.py:55-69)
+    import pytest as _pytest
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 10})
+    with _pytest.warns(RuntimeWarning, match="saved configs"):
+        trial2 = train_loop(gcfg, dcfg, TrainConfig(),
+                            LegacySchedule(12, 4, 1), dataset, loop_cfg2,
+                            resume_dir=out)
+    grown_after = ckpt.load_params(ckpt.latest_checkpoint(trial2, "g"))
+    assert "64" in grown_after["blocks"]  # still the grown net
+
 
 def test_cut_to_square_prefers_salient_region():
     img = np.zeros((40, 120, 3), np.uint8)
