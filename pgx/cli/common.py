@@ -30,6 +30,10 @@ def add_common_args(p: argparse.ArgumentParser,
     p.add_argument("--batch-size", type=int,
                    default=defaults.get("batch_size", 4))
     p.add_argument("--n-critic", type=int, default=1)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize G/D activations in the backward "
+                        "(jax.checkpoint): slower per step, much lower "
+                        "HBM — for big batches at high resolutions")
     p.add_argument("--gp-every", type=int, default=1,
                    help="lazy regularization: apply the gradient penalty "
                         "every N iterations with lambda scaled by N "

@@ -42,7 +42,7 @@ def main(argv=None):
         feat_dim=args.channels,
         use_mnist_conv_blocks=not args.full_conv_blocks, dtype=args.dtype)
     tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every)
+                     gp_every=args.gp_every, remat=args.remat)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
     dataset = get_dataset(args, "mnist")
 

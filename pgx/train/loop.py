@@ -307,6 +307,27 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
             if "on_iteration" in hooks:
                 hooks["on_iteration"](i, st, state, metrics)
+    except (KeyboardInterrupt, SystemExit):
+        # failure handling the reference lacks (its ckpt saves are bare
+        # try/except, train.py:183-187): an interrupted run leaves a
+        # resumable checkpoint at the exact iteration it stopped
+        if is_main:
+            it = int(jax.device_get(state["iteration"]))
+            try:
+                use_orbax = loop_cfg.checkpoint_backend == "orbax"
+                host_state = jax.device_get(state)
+                ckpt.save_checkpoint(trial_dir, it, host_state,
+                                     full_state=loop_cfg.keep_full_state
+                                     and not use_orbax)
+                if use_orbax and loop_cfg.keep_full_state:
+                    if orbax_store is None:
+                        orbax_store = OrbaxStateStore(trial_dir)
+                    orbax_store.save(it, host_state)
+                print(f"interrupted: emergency checkpoint saved at "
+                      f"iteration {it} in {trial_dir}", flush=True)
+            except Exception:  # best-effort: never mask the interrupt
+                pass
+        raise
     finally:
         if prefetcher is not None:
             prefetcher.close()

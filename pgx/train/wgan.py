@@ -58,6 +58,10 @@ class TrainConfig:
     gp_every: int = 1      # lazy regularization: compute the gradient
                            # penalty every N iterations with lambda scaled
                            # by N (StyleGAN2-style; 1 == reference-exact)
+    remat: bool = False    # jax.checkpoint the G/D forwards: recompute
+                           # activations in the backward instead of storing
+                           # them — trades ~repeated forward FLOPs for HBM,
+                           # enabling larger batches at high resolutions
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -127,6 +131,12 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                   alpha=alpha, fading=fading,
                                   stddev_axis_name=stddev_axis_name)
         return out.reshape(-1)
+
+    if tc.remat:
+        # rematerialize activations in the backward passes (incl. through
+        # the GP's nested grad — jax.checkpoint composes with AD)
+        g_fwd = jax.checkpoint(g_fwd)
+        d_fwd = jax.checkpoint(d_fwd)
 
     def train_step(state, real, labels, alpha):
         rng = state["rng"]

@@ -106,6 +106,33 @@ def test_orbax_backend_save_and_resume(tmp_path):
         ckpt.latest_checkpoint(trial_dir, "g")) == 16
 
 
+def test_interrupt_saves_emergency_checkpoint(tmp_path):
+    """A KeyboardInterrupt mid-run leaves a resumable checkpoint at the
+    exact interrupted iteration (the reference loses everything since its
+    last periodic save)."""
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg.total_iterations = 20
+    loop_cfg.checkpoint_every = 100  # no periodic saves before interrupt
+
+    def bomb(i, st, state, metrics):
+        if i == 6:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
+                   hooks={"on_iteration": bomb})
+    trials = [d for d in os.listdir(tmp_path) if d.startswith("trial_")]
+    trial_dir = os.path.join(tmp_path, trials[0])
+    last = ckpt.latest_checkpoint(trial_dir, "g")
+    assert ckpt.checkpoint_iteration(last) == 7  # interrupted at i=6 -> it=7
+
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 12})
+    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2,
+               resume_dir=trial_dir)
+    assert ckpt.checkpoint_iteration(
+        ckpt.latest_checkpoint(trial_dir, "g")) == 12
+
+
 def test_checkpoint_roundtrip_and_grower(tmp_path):
     import jax
     import jax.numpy as jnp

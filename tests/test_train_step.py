@@ -334,3 +334,36 @@ def test_g_step_redraws_augmentation(monkeypatch):
     assert len(seen_keys) == 3
     uniq = {k.tobytes() for k in seen_keys}
     assert len(uniq) == 3, "augmentation keys must all be distinct"
+
+
+def test_remat_matches_plain_step():
+    """TrainConfig(remat=True) rematerializes activations but must produce
+    identical updates (jax.checkpoint changes memory, not math)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgx.models import zoo
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    real = jnp.asarray(
+        np.random.RandomState(0).randn(4, 16, 16, 1).astype(np.float32))
+
+    outs = {}
+    for remat in (False, True):
+        tc = dataclasses.replace(TrainConfig(), remat=remat)
+        state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+        fn = make_train_step(gcfg, dcfg, tc, step=2, fading=True,
+                             donate=False)
+        s, m = fn(state, real, None, jnp.float32(0.5))
+        outs[remat] = (jax.device_get(s), jax.device_get(m))
+
+    # recompute reassociates f32 reductions; Adam's rsqrt amplifies the
+    # noise slightly (measured max ~5e-5 on CPU)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4),
+        outs[False], outs[True])
