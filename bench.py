@@ -92,7 +92,10 @@ def main():
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
+    # the measured reference baseline is the plain (non-ADA) iteration;
+    # an --ada run has no comparable reference number (the reference never
+    # wired its pipeline in), so vs_baseline stays null there
+    if os.path.exists(baseline_path) and not args.ada:
         with open(baseline_path) as f:
             ref = json.load(f)
         ref_ips = ref.get("reference_images_per_sec")

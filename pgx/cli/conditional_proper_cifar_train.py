@@ -10,8 +10,8 @@ from __future__ import annotations
 
 import argparse
 
-from pgx.cli.common import add_ada_args, add_common_args, get_dataset, \
-    maybe_init_multihost
+from pgx.cli.common import ada_configs_from_args, add_ada_args, \
+    add_common_args, get_dataset, maybe_init_multihost
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -60,12 +60,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh,
         checkpoint_backend=args.checkpoint_backend)
-    augment_cfg = ada_cfg = None
-    if args.ada:
-        from pgx.augment import AdaConfig, bgc_config
-        augment_cfg = bgc_config()
-        ada_cfg = AdaConfig(ada_target=args.ada_target,
-                            ada_length=args.ada_length)
+    augment_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
                            resume_dir=args.resume, augment_cfg=augment_cfg,
                            ada_cfg=ada_cfg)

@@ -71,6 +71,8 @@ def main(argv=None):
         batch_fn = array_batches
     else:
         dataset = WikiArtDataset(args.csv, args.image_root or ".")
+        if args.limit_images:
+            dataset.limit(args.limit_images, seed=args.seed)
         batch_fn = wikiart_batches
 
     loop_cfg = LoopConfig(

@@ -87,7 +87,11 @@ def main(argv=None):
     if "generator" not in ref_cfg:
         from pgx.checkpoint.torch_import import (infer_ref_config,
                                                  load_torch_state_dict)
-        g_probe = args.g_model or ckpt.list_checkpoints(args.trial, "g")[-1]
+        g_probes = ([args.g_model] if args.g_model
+                    else ckpt.list_checkpoints(args.trial, "g"))
+        if not g_probes:
+            raise SystemExit(f"no *_g.model checkpoints in {args.trial}")
+        g_probe = g_probes[-1]
         d_paths = [args.d_model] if args.d_model else (
             ckpt.list_checkpoints(args.trial, "d")[-1:] if args.trial else [])
         ref_cfg = {**infer_ref_config(

@@ -40,7 +40,8 @@ def main(argv=None):
     fc.add_argument("--src", required=True)
     fc.add_argument("--dst", required=True)
     fc.add_argument("--points-csv",
-                    help="CSV with filename,cx,cy detector output")
+                    help="CSV with filename,cx,cy detector output (filename "
+                         "is the src-relative path for nested dirs)")
     fc.add_argument("--use-mtcnn", action="store_true",
                     help="run facenet-pytorch MTCNN (requires the optional "
                          "dependency; not available in this environment)")
@@ -101,8 +102,13 @@ def main(argv=None):
                 if not name.lower().endswith(prep._IMG_EXTS):
                     continue
                 img = prep.load_image(os.path.join(dirpath, name))
-                if name in points:
-                    cx, cy = points[name]
+                # points are keyed by src-relative path (equals the bare
+                # filename for flat datasets) — a bare-name lookup for
+                # nested dirs would silently share one point between
+                # same-named files in different subdirectories
+                rel_name = name if rel == "." else os.path.join(rel, name)
+                if rel_name in points:
+                    cx, cy = points[rel_name]
                 elif detector is not None:
                     import torch
                     boxes, _ = detector.detect(img)

@@ -43,6 +43,8 @@ def main(argv=None):
         dataset = ImageFolderDataset(args.path, resize_factor=1.2,
                                      random_crop=True, hflip=True,
                                      seed=args.seed)
+        if args.limit_images:
+            dataset.limit(args.limit_images, seed=args.seed)
         batch_fn = folder_batches
 
     loop_cfg = LoopConfig(

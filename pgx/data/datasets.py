@@ -35,6 +35,29 @@ def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
+def _balanced_subset_indices(labels, num_classes: int, n: int,
+                             seed: int, total: int = None) -> np.ndarray:
+    """Deterministic sorted index subset of exactly ``n`` items,
+    class-balanced when labels exist (topped up round-robin when n isn't a
+    multiple of num_classes or classes run short)."""
+    rng = np.random.RandomState(seed)
+    if labels is None or not num_classes:
+        return np.sort(rng.permutation(total)[:n])
+    labels = np.asarray(labels)
+    per_class = [rng.permutation(np.flatnonzero(labels == c))
+                 for c in range(num_classes)]
+    picked = []
+    depth = 0
+    while len(picked) < n and any(depth < len(p) for p in per_class):
+        for p in per_class:            # round-robin one item per class
+            if depth < len(p):
+                picked.append(p[depth])
+                if len(picked) == n:
+                    break
+        depth += 1
+    return np.sort(np.asarray(picked[:n]))
+
+
 class ArrayDataset:
     """In-memory dataset with per-resolution uint8 caches."""
 
@@ -59,15 +82,8 @@ class ArrayDataset:
         """Deterministic subset of ``n`` images, class-balanced when labels
         exist (limited-data training — the regime ADA was designed for)."""
         n = min(n, len(self.images))
-        rng = np.random.RandomState(seed)
-        if self.labels is not None and self.num_classes:
-            per = max(n // self.num_classes, 1)
-            idx = np.concatenate([
-                rng.permutation(np.flatnonzero(self.labels == c))[:per]
-                for c in range(self.num_classes)])[:n]
-        else:
-            idx = rng.permutation(len(self.images))[:n]
-        idx = np.sort(idx)
+        idx = _balanced_subset_indices(self.labels, self.num_classes, n,
+                                       seed, total=len(self.images))
         labels = self.labels[idx] if self.labels is not None else None
         return ArrayDataset(np.ascontiguousarray(self.images[idx]), labels,
                             num_classes=self.num_classes)
@@ -196,6 +212,17 @@ class ImageFolderDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def limit(self, n: int, seed: int = 0) -> "ImageFolderDataset":
+        """Restrict to a deterministic class-balanced subset of ``n``
+        files in place (``--limit-images``); returns self."""
+        n = min(n, len(self.paths))
+        idx = _balanced_subset_indices(self.labels, self.num_classes, n,
+                                       seed, total=len(self.paths))
+        self.paths = [self.paths[i] for i in idx]
+        if self.labels is not None:
+            self.labels = self.labels[idx]
+        return self
+
     def load(self, idx: int, size: int) -> np.ndarray:
         """CelebA-style transform (train.py:37-41):
         Resize(size + int(size*0.2) + 1) — torchvision semantics: scale the
@@ -241,6 +268,16 @@ class WikiArtDataset:
                 self.rows.append((row["filename"], cat, int(row["size"])))
         self.categories = cats
         self.num_classes = len(cats)
+
+    def limit(self, n: int, seed: int = 0) -> "WikiArtDataset":
+        """Restrict to a deterministic category-balanced subset of ``n``
+        rows in place (``--limit-images``); returns self."""
+        n = min(n, len(self.rows))
+        labels = np.asarray([self.categories[c] for _, c, _ in self.rows])
+        idx = _balanced_subset_indices(labels, self.num_classes, n, seed,
+                                       total=len(self.rows))
+        self.rows = [self.rows[i] for i in idx]
+        return self
 
     def subset_for(self, size: int):
         return [(f, self.categories[c]) for f, c, s in self.rows if s >= size]

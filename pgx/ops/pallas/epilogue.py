@@ -20,10 +20,12 @@ Backward, given g:
   da  = r * dpn - r^3 * (s / C) * a
   db  = sum_rows(da)
 
-Reduction accumulation stays in the compute dtype, matching
-``pgx.core.layers.pixel_norm`` semantics (bf16 mode stays bf16).
-Dispatch falls back to the XLA composition off-TPU or for unsupported
-shapes; parity is tested in tests/test_pallas_kernels.py.
+The row statistics (sum-of-squares, rsqrt) are computed in f32
+registers in both the forward kernel and the tangent rule — this
+target's VPU has no bf16 rsqrt, and the in-register conversion is free,
+so the kernel is slightly MORE accurate than the bf16-accumulating XLA
+composition.  Dispatch falls back to the XLA composition off-TPU or for
+unsupported shapes; parity is tested in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -116,18 +118,20 @@ def _jvp_rule(slope, eps, primals, tangents):
     dy, db = tangents
     dt = jnp.dtype(y.dtype)
     c = y.shape[-1]
-    inv_c = dt.type(1.0 / c)
+    inv_c = np.float32(1.0 / c)
 
     # primal via the function itself so higher-order differentiation
     # re-enters this rule instead of hitting the raw Pallas call
     out = bias_pixelnorm_lrelu(y, b, slope, eps)
 
-    a = y + b.astype(dt)
-    da = dy + db.astype(dt)
-    ssq = jnp.sum(a * a, axis=-1, keepdims=True, dtype=dt)
-    r = lax.rsqrt(ssq * inv_c + dt.type(eps))
+    # statistics in f32 to match the forward kernel exactly — the tangent
+    # must linearize the same function the primal evaluated
+    a = (y + b.astype(dt)).astype(jnp.float32)
+    da = (dy + db.astype(dy.dtype)).astype(jnp.float32)
+    ssq = jnp.sum(a * a, axis=-1, keepdims=True)
+    r = lax.rsqrt(ssq * inv_c + np.float32(eps))
     # d(a*r) = da*r + a*dr,  dr = -r^3 * mean_c(a*da)
-    m = jnp.sum(a * da, axis=-1, keepdims=True, dtype=dt) * inv_c
+    m = jnp.sum(a * da, axis=-1, keepdims=True) * inv_c
     dpn = da * r - a * (r * r * r) * m
-    dout = jnp.where(a >= 0, dpn, dt.type(slope) * dpn)
-    return out, dout
+    dout = jnp.where(a >= 0, dpn, np.float32(slope) * dpn)
+    return out, dout.astype(dt)

@@ -112,8 +112,22 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
     from pgx.checkpoint.orbax_backend import has_orbax_state
     orbax_store = None
-    if loop_cfg.checkpoint_backend == "orbax" and is_main:
-        from pgx.checkpoint.orbax_backend import OrbaxStateStore
+    use_orbax = loop_cfg.checkpoint_backend == "orbax"
+
+    def save_full(it, current_state):
+        """One checkpoint write (periodic / interrupt / final): the
+        reference-format {iter}_g/_d.model param files always; the full
+        train state via the configured backend."""
+        nonlocal orbax_store
+        host_state = jax.device_get(current_state)
+        ckpt.save_checkpoint(trial_dir, it, host_state,
+                             full_state=loop_cfg.keep_full_state
+                             and not use_orbax)
+        if use_orbax and loop_cfg.keep_full_state:
+            if orbax_store is None:
+                from pgx.checkpoint.orbax_backend import OrbaxStateStore
+                orbax_store = OrbaxStateStore(trial_dir)
+            orbax_store.save(it, host_state)
 
     if resume_dir is not None:
         trial_dir = resume_dir.rstrip("/")
@@ -142,14 +156,24 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
              if f.endswith("_state.msgpack")),
             key=lambda n: int(n.split("_")[0]))
+        # Pick whichever full-state source is NEWEST — a trial may hold
+        # both (e.g. trained with the orbax backend, then resumed with the
+        # default npz backend); blindly preferring one would silently roll
+        # training back to a stale iteration.
+        orbax_it = -1
         if has_orbax_state(trial_dir):
             from pgx.checkpoint.orbax_backend import OrbaxStateStore
             store = OrbaxStateStore(trial_dir, async_save=False)
-            it = store.latest_iteration()
-            state = store.restore(it, jax.device_get(state))
+            orbax_it = store.latest_iteration() or -1
+        msgpack_it = (int(state_files[-1].split("_")[0])
+                      if state_files else -1)
+        if orbax_it >= 0 and orbax_it >= msgpack_it:
+            state = store.restore(orbax_it, jax.device_get(state))
             store.close()
             start_iter = int(state["iteration"])
         elif state_files:
+            if orbax_it >= 0:
+                store.close()
             path = os.path.join(trial_dir, "checkpoint", state_files[-1])
             state = ckpt.load_state(path, state)
             start_iter = int(state["iteration"])
@@ -265,16 +289,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             if (it % loop_cfg.checkpoint_every == 0 or i == start_iter) \
                     and is_main:
                 try:
-                    use_orbax = loop_cfg.checkpoint_backend == "orbax"
-                    host_state = jax.device_get(state)
-                    ckpt.save_checkpoint(
-                        trial_dir, it, host_state,
-                        full_state=loop_cfg.keep_full_state
-                        and not use_orbax)
-                    if use_orbax and loop_cfg.keep_full_state:
-                        if orbax_store is None:
-                            orbax_store = OrbaxStateStore(trial_dir)
-                        orbax_store.save(it, host_state)
+                    save_full(it, state)
                 except OSError:
                     pass  # reference behavior: never die on a ckpt write
 
@@ -314,34 +329,19 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         if is_main:
             it = int(jax.device_get(state["iteration"]))
             try:
-                use_orbax = loop_cfg.checkpoint_backend == "orbax"
-                host_state = jax.device_get(state)
-                ckpt.save_checkpoint(trial_dir, it, host_state,
-                                     full_state=loop_cfg.keep_full_state
-                                     and not use_orbax)
-                if use_orbax and loop_cfg.keep_full_state:
-                    if orbax_store is None:
-                        orbax_store = OrbaxStateStore(trial_dir)
-                    orbax_store.save(it, host_state)
+                save_full(it, state)
                 print(f"interrupted: emergency checkpoint saved at "
                       f"iteration {it} in {trial_dir}", flush=True)
             except Exception:  # best-effort: never mask the interrupt
                 pass
         raise
+    else:
+        if is_main:
+            save_full(total, state)
     finally:
         if prefetcher is not None:
             prefetcher.close()
         if orbax_store is not None:
             orbax_store.close()  # drain pending async saves
 
-    if is_main:
-        use_orbax = loop_cfg.checkpoint_backend == "orbax"
-        host_state = jax.device_get(state)
-        ckpt.save_checkpoint(trial_dir, total, host_state,
-                             full_state=loop_cfg.keep_full_state
-                             and not use_orbax)
-        if use_orbax and loop_cfg.keep_full_state:
-            store = OrbaxStateStore(trial_dir, async_save=False)
-            store.save(total, host_state)
-            store.close()
     return trial_dir

@@ -53,6 +53,10 @@ def open_url(url: str, cache_dir: str = None, num_attempts: int = 10,
     * transient errors retry up to ``num_attempts`` times.
     """
     assert num_attempts >= 1
+    if not cache and return_filename and is_url(url):
+        # reject up front — there would be no file to name (the reference
+        # asserts the same combination, ada/dnnlib/util.py:389)
+        raise ValueError("return_filename requires cache=True for URLs")
 
     if url.startswith("file://"):
         url = urllib.request.url2pathname(urllib.parse.urlparse(url).path)

@@ -125,6 +125,42 @@ def test_dataset_subset_balanced():
     # deterministic
     sub2 = ds.subset(200, seed=3)
     np.testing.assert_array_equal(sub.images, sub2.images)
+    # exactly n even when n isn't a multiple of num_classes
+    sub3 = ds.subset(255, seed=3)
+    assert len(sub3) == 255
+    c3 = np.bincount(sub3.labels, minlength=10)
+    assert c3.min() >= 25 and c3.max() <= 26  # round-robin top-up
+
+
+def test_folder_and_wikiart_limit(tmp_path):
+    """--limit-images works for the file-backed datasets too."""
+    import csv
+
+    from PIL import Image
+
+    from pgx.data import ImageFolderDataset, WikiArtDataset
+
+    root = tmp_path / "imgs"
+    for c in range(3):
+        os.makedirs(root / f"c{c}")
+        for i in range(5):
+            Image.new("RGB", (16, 16)).save(root / f"c{c}" / f"{i}.png")
+    ds = ImageFolderDataset(str(root)).limit(7, seed=0)
+    assert len(ds) == 7
+    counts = np.bincount(ds.labels, minlength=3)
+    assert counts.min() >= 2 and counts.max() <= 3
+
+    with open(tmp_path / "info.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["filename", "category", "size"])
+        for c in range(3):
+            for i in range(5):
+                w.writerow([f"c{c}/{i}.png", f"c{c}", 16])
+    wa = WikiArtDataset(str(tmp_path / "info.csv"), str(root)).limit(7)
+    assert len(wa.rows) == 7
+    cats = np.bincount([wa.categories[c] for _, c, _ in wa.rows],
+                       minlength=3)
+    assert cats.min() >= 2 and cats.max() <= 3
 
 
 def test_inception_weight_loader_roundtrip(tmp_path):

@@ -106,6 +106,32 @@ def test_orbax_backend_save_and_resume(tmp_path):
         ckpt.latest_checkpoint(trial_dir, "g")) == 16
 
 
+def test_resume_prefers_newest_full_state(tmp_path):
+    """A trial holding BOTH an orbax state and a newer msgpack state (orbax
+    run later resumed with the default backend) must resume from the
+    newest, not silently roll back to the stale orbax step."""
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg.total_iterations = 8
+    loop_cfg.checkpoint_backend = "orbax"
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    loop_cfg2 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 14,
+                              "checkpoint_backend": "npz"})
+    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2,
+               resume_dir=trial_dir)  # leaves 14_state.msgpack + orbax@8
+
+    loop_cfg3 = LoopConfig(**{**loop_cfg.__dict__, "total_iterations": 18,
+                              "checkpoint_backend": "npz"})
+    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg3,
+               resume_dir=trial_dir)
+    names = os.listdir(os.path.join(trial_dir, "checkpoint"))
+    its = sorted(int(n.split("_")[0]) for n in names
+                 if n.endswith("_state.msgpack"))
+    # the third run must have started at 14 (not the stale orbax 8):
+    # its first periodic save lands at iteration 15 (i == start_iter)
+    assert 15 in its and 18 in its
+
+
 def test_interrupt_saves_emergency_checkpoint(tmp_path):
     """A KeyboardInterrupt mid-run leaves a resumable checkpoint at the
     exact interrupted iteration (the reference loses everything since its
