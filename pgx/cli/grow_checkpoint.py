@@ -86,6 +86,12 @@ def main(argv=None):
                                   ckpt.checkpoint_name(it, "d")), big_dp)
     extra = {k: v for k, v in cfg.items()
              if k not in ("generator", "discriminator", "train")}
+    if "schedule" in extra and "max_step" in extra["schedule"]:
+        # the copied schedule must allow the grown net's new stages —
+        # tools that re-derive (step, alpha) per iteration (generate,
+        # fid_sweep, create_gif) read it from this config
+        extra["schedule"] = {**extra["schedule"],
+                             "max_step": args.target_max_step}
     ckpt.save_config(out_dir, big_g, big_d, tc, extra=extra, postfix="grown")
     print(f"grown checkpoints written to {out_dir} "
           f"(equivalence verified at step {args.check_step})")

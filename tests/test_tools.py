@@ -102,6 +102,22 @@ def test_grow_checkpoint_cli_conditional(tmp_path):
     assert "64" in grown_after["blocks"]  # still the grown net
 
 
+def test_generate_cli(tmp_path):
+    """Standalone sampling from a trial checkpoint: schedule-derived
+    (step, alpha), PNG grid + npz output."""
+    from pgx.cli.generate import main
+
+    trial, schedule = _fake_trial(tmp_path)
+    out = main(["--trial", trial, "--num", "12",
+                "--npz", str(tmp_path / "s.npz")])
+    assert os.path.exists(out)
+    data = np.load(tmp_path / "s.npz")
+    it = 12  # _fake_trial trains 12 iterations
+    st = schedule.state_at(it - 1)
+    assert data["images"].shape == (12, st.resolution, st.resolution, 1)
+    assert np.isfinite(data["images"]).all()
+
+
 def test_cut_to_square_prefers_salient_region():
     img = np.zeros((40, 120, 3), np.uint8)
     img[:, 90:110] = 255  # high-gradient block on the right
