@@ -41,6 +41,48 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     return jax.process_index(), jax.process_count()
 
 
+def broadcast_obj(obj=None):
+    """Broadcast a picklable object from process 0 to every process.
+
+    Two-phase broadcast (length, then payload) over
+    ``multihost_utils.broadcast_one_to_all`` so hosts WITHOUT a shared
+    filesystem can receive configs / scalars resolved on the main host
+    (resume metadata, schedule state).  Non-main processes pass anything
+    (ignored).  Single-process: returns ``obj`` unchanged.
+    """
+    if jax.process_count() == 1:
+        return obj
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        payload = np.frombuffer(pickle.dumps(obj), np.uint8).copy()
+    else:
+        payload = np.zeros(0, np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray(payload.size, np.int32)))
+    buf = np.zeros(n, np.uint8)
+    if jax.process_index() == 0:
+        buf[:] = payload
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
+
+
+def broadcast_state(state):
+    """Broadcast a pytree of arrays from process 0 (same structure on every
+    process; non-main values are shape/dtype placeholders).  Used at resume
+    time so only the main host needs the checkpoint files on disk."""
+    if jax.process_count() == 1:
+        return state
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(jax.device_get(state))
+    return jax.tree.map(np.asarray, out)
+
+
 def host_batch_slice(global_batch: int) -> Tuple[int, int, int]:
     """(host_batch, start, end): this process's slice of the global batch
     when each host assembles only its addressable shard."""

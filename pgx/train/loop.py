@@ -78,6 +78,50 @@ def _sample_grid_inputs(gcfg: GeneratorConfig, loop_cfg: LoopConfig,
     return z, None, loop_cfg.sample_cols
 
 
+def _load_newest_state(trial_dir: str, state):
+    """Restore the NEWEST full-state source in ``trial_dir`` into ``state``
+    and return ``(state, start_iter)``.
+
+    A trial may hold both orbax and msgpack state (e.g. trained with the
+    orbax backend, then resumed with the default npz backend); blindly
+    preferring one would silently roll training back to a stale iteration.
+    Falls back to model-only resume (reference semantics: EMA ckpt loaded
+    into both G and g_running, mnist_train.py:312-314).
+    """
+    from pgx.checkpoint.orbax_backend import has_orbax_state
+    state_files = sorted(
+        (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
+         if f.endswith("_state.msgpack")),
+        key=lambda n: int(n.split("_")[0]))
+    msgpack_it = int(state_files[-1].split("_")[0]) if state_files else -1
+    store, orbax_it = None, -1
+    try:
+        if has_orbax_state(trial_dir):
+            from pgx.checkpoint.orbax_backend import OrbaxStateStore
+            store = OrbaxStateStore(trial_dir, async_save=False)
+            orbax_it = store.latest_iteration() or -1
+        if orbax_it >= 0 and orbax_it >= msgpack_it:
+            state = store.restore(orbax_it, jax.device_get(state))
+            return state, int(state["iteration"])
+    finally:
+        if store is not None:
+            store.close()
+    if state_files:
+        path = os.path.join(trial_dir, "checkpoint", state_files[-1])
+        state = ckpt.load_state(path, state)
+        return state, int(state["iteration"])
+    gpath = ckpt.latest_checkpoint(trial_dir, "g")
+    dpath = ckpt.latest_checkpoint(trial_dir, "d")
+    if gpath is None:
+        raise FileNotFoundError(f"no checkpoints in {trial_dir}")
+    g = ckpt.load_params(gpath)
+    state["g"], state["g_ema"] = g, jax.tree.map(jnp.copy, g)
+    state["d"] = ckpt.load_params(dpath)
+    start_iter = ckpt.checkpoint_iteration(gpath)
+    state["iteration"] = jnp.asarray(start_iter, jnp.int32)
+    return state, start_iter
+
+
 def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                tc: TrainConfig, schedule, dataset, loop_cfg: LoopConfig,
                resume_dir: Optional[str] = None,
@@ -110,7 +154,6 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     state = init_train_state(key, gcfg, dcfg, tc)
     start_iter = 0
 
-    from pgx.checkpoint.orbax_backend import has_orbax_state
     orbax_store = None
     use_orbax = loop_cfg.checkpoint_backend == "orbax"
 
@@ -139,10 +182,17 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         # trains THAT architecture (load_saved_config,
         # proper_cifar_train.py:55-69) — the CLI's model args may drift
         # (e.g. resuming a grown checkpoint whose channel plan differs).
-        try:
-            saved = ckpt.configs_from_dict(ckpt.load_config(trial_dir))
-        except (FileNotFoundError, KeyError, TypeError):
-            saved = None
+        # Multi-host: ONLY process 0 touches the filesystem (the trial dir
+        # may not exist on other hosts); configs and the restored state are
+        # broadcast so every process compiles the same architecture.
+        from pgx.parallel.distributed import broadcast_obj, broadcast_state
+        saved = None
+        if is_main:
+            try:
+                saved = ckpt.configs_from_dict(ckpt.load_config(trial_dir))
+            except (FileNotFoundError, KeyError, TypeError):
+                saved = None
+        saved = broadcast_obj(saved)
         if saved is not None and (saved[0] != gcfg or saved[1] != dcfg):
             import warnings
             warnings.warn(
@@ -152,43 +202,10 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             gcfg, dcfg = saved[0], saved[1]
             key = jax.random.PRNGKey(loop_cfg.seed)
             state = init_train_state(key, gcfg, dcfg, tc)
-        state_files = sorted(
-            (f for f in os.listdir(os.path.join(trial_dir, "checkpoint"))
-             if f.endswith("_state.msgpack")),
-            key=lambda n: int(n.split("_")[0]))
-        # Pick whichever full-state source is NEWEST — a trial may hold
-        # both (e.g. trained with the orbax backend, then resumed with the
-        # default npz backend); blindly preferring one would silently roll
-        # training back to a stale iteration.
-        orbax_it = -1
-        if has_orbax_state(trial_dir):
-            from pgx.checkpoint.orbax_backend import OrbaxStateStore
-            store = OrbaxStateStore(trial_dir, async_save=False)
-            orbax_it = store.latest_iteration() or -1
-        msgpack_it = (int(state_files[-1].split("_")[0])
-                      if state_files else -1)
-        if orbax_it >= 0 and orbax_it >= msgpack_it:
-            state = store.restore(orbax_it, jax.device_get(state))
-            store.close()
-            start_iter = int(state["iteration"])
-        elif state_files:
-            if orbax_it >= 0:
-                store.close()
-            path = os.path.join(trial_dir, "checkpoint", state_files[-1])
-            state = ckpt.load_state(path, state)
-            start_iter = int(state["iteration"])
-        else:
-            # model-only resume (reference semantics: EMA ckpt loaded into
-            # both G and g_running, mnist_train.py:312-314)
-            gpath = ckpt.latest_checkpoint(trial_dir, "g")
-            dpath = ckpt.latest_checkpoint(trial_dir, "d")
-            if gpath is None:
-                raise FileNotFoundError(f"no checkpoints in {trial_dir}")
-            g = ckpt.load_params(gpath)
-            state["g"], state["g_ema"] = g, jax.tree.map(jnp.copy, g)
-            state["d"] = ckpt.load_params(dpath)
-            start_iter = ckpt.checkpoint_iteration(gpath)
-            state["iteration"] = jnp.asarray(start_iter, jnp.int32)
+        if is_main:
+            state, start_iter = _load_newest_state(trial_dir, state)
+        start_iter = broadcast_obj(start_iter if is_main else None)
+        state = broadcast_state(state)
     elif is_main:
         trial_dir, postfix = make_trial_dir(loop_cfg)
         from pgx.train.schedule import schedule_to_dict

@@ -4,8 +4,9 @@ Functional parity with the reference's ``dnnlib.util.open_url``
 (ada/dnnlib/util.py:382-451): validates the URL, serves ``file://`` URLs
 and plain paths directly, caches downloads under an md5-of-url key with an
 atomic rename (safe across concurrent processes), retries transient
-failures with the reference's exponential policy, and returns either a
-binary file object or the cached filename.
+failures with a short exponential backoff between attempts (the reference
+retries immediately with no sleep), and returns either a binary file
+object or the cached filename.
 
 This box has no network egress, so the HTTP path is exercised in tests
 against a local ``http.server`` instance (tests/test_infra.py).
@@ -18,6 +19,7 @@ import io
 import os
 import re
 import tempfile
+import time
 import urllib.parse
 import urllib.request
 import uuid
@@ -99,6 +101,7 @@ def open_url(url: str, cache_dir: str = None, num_attempts: int = 10,
                 raise
             if verbose:
                 print(".", end="", flush=True)
+            time.sleep(min(0.1 * 2 ** attempt, 5.0))
 
     if cache:
         os.makedirs(cache_dir, exist_ok=True)
