@@ -191,7 +191,7 @@ class ImageFolderDataset:
         self.resize_factor = resize_factor
         self.random_crop = random_crop
         self.hflip = hflip
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         classes = sorted(d for d in os.listdir(root)
                          if os.path.isdir(os.path.join(root, d)))
         self.paths, labels = [], []
@@ -223,11 +223,17 @@ class ImageFolderDataset:
             self.labels = self.labels[idx]
         return self
 
-    def load(self, idx: int, size: int) -> np.ndarray:
+    def load(self, idx: int, size: int, seed: Optional[int] = None,
+             epoch: int = 0) -> np.ndarray:
         """CelebA-style transform (train.py:37-41):
         Resize(size + int(size*0.2) + 1) — torchvision semantics: scale the
         SHORTER edge, preserving aspect ratio — then RandomCrop(size) and
-        RandomHorizontalFlip."""
+        RandomHorizontalFlip.
+
+        Crop/flip randomness is a pure function of ``(seed, epoch, idx)``
+        (counter-derived, not a mutable stream), so a resumed run and two
+        prefetcher restarts at the same iteration see the SAME augmentation
+        stream — matching the array path's per-stage seeding."""
         from PIL import Image
         im = Image.open(self.paths[idx]).convert("RGB")
         if self.resize_factor > 1.0:
@@ -241,13 +247,17 @@ class ImageFolderDataset:
         im = im.resize((rw, rh), Image.BILINEAR)
         arr = np.asarray(im, np.uint8)
         h, w = arr.shape[:2]
+        if self.random_crop or self.hflip:
+            base = self.seed if seed is None else seed
+            rng = np.random.RandomState(
+                np.random.SeedSequence((base, epoch, idx)).generate_state(4))
         if self.random_crop:
-            y = self.rng.randint(0, h - size + 1)
-            x = self.rng.randint(0, w - size + 1)
+            y = rng.randint(0, h - size + 1)
+            x = rng.randint(0, w - size + 1)
         else:
             y, x = (h - size) // 2, (w - size) // 2
         arr = arr[y:y + size, x:x + size]
-        if self.hflip and self.rng.rand() < 0.5:
+        if self.hflip and rng.rand() < 0.5:
             arr = arr[:, ::-1]
         return arr
 

@@ -54,14 +54,20 @@ def folder_batches(dataset: ImageFolderDataset, batch_size: int,
                    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    epoch = 0
     while True:
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start:start + batch_size]
-            imgs = np.stack([dataset.load(int(i), resolution) for i in idx])
+            # crop/flip randomness is counter-derived from
+            # (seed, epoch, index) so restarting this iterator reproduces
+            # the exact augmentation stream (resume reproducibility)
+            imgs = np.stack([dataset.load(int(i), resolution, seed=seed,
+                                          epoch=epoch) for i in idx])
             labs = (dataset.labels[idx] if dataset.labels is not None
                     else None)
             yield normalize_to_unit(imgs), labs
+        epoch += 1
 
 
 class DevicePrefetcher:

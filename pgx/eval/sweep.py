@@ -49,13 +49,20 @@ def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
     tanh quirk)."""
     gen = make_eval_generate(gcfg, step=step, fading=fading)
     rng = np.random.RandomState(seed)
+    # class-BALANCED labels (shuffled round-robin), matching the real-side
+    # statistics which are computed over class-balanced subsets
+    # (datasets._balanced_subset_indices) — uniform sampling would add an
+    # avoidable label-distribution mismatch to the metric
+    if num_classes:
+        labels = np.tile(np.arange(num_classes),
+                         num_samples // num_classes + 1)[:num_samples]
+        labels = rng.permutation(labels)
     outs = []
     done = 0
     while done < num_samples:
         b = min(batch_size, num_samples - done)
         z = jnp.asarray(rng.randn(b, gcfg.z_dim).astype(np.float32))
-        lab = (jnp.asarray(rng.randint(0, num_classes, b))
-               if num_classes else None)
+        lab = jnp.asarray(labels[done:done + b]) if num_classes else None
         outs.append(np.asarray(gen(params, z, lab, jnp.float32(alpha)),
                                np.float32))
         done += b

@@ -43,6 +43,38 @@ def test_image_folder_aspect_preserving(tmp_path):
     assert labels.shape == (3,)
 
 
+def test_folder_stream_resume_reproducible(tmp_path):
+    """Crop/flip randomness is counter-derived from (seed, epoch, index):
+    restarting the batch iterator reproduces the exact augmentation stream
+    (resume reproducibility — the reference's seeded DataLoader semantics,
+    train.py:36-47), while different epochs/seeds still draw fresh crops."""
+    root = tmp_path / "imgs"
+    os.makedirs(root / "all")
+    for i in range(4):
+        _write_png(root / "all" / f"{i}.png", 100, 140, color=(i * 50, 10, 9))
+    ds = ImageFolderDataset(str(root), resize_factor=1.5, random_crop=True,
+                            hflip=True, seed=3)
+
+    # same (seed, epoch, idx) -> bit-identical; load() is pure
+    a = ds.load(1, 32, seed=7, epoch=0)
+    b = ds.load(1, 32, seed=7, epoch=0)
+    np.testing.assert_array_equal(a, b)
+
+    # two independent iterators at the same seed = identical streams
+    def take(k, seed):
+        it = folder_batches(ds, 2, 32, seed=seed)
+        return [next(it)[0] for _ in range(k)]
+    s1 = take(5, seed=11)   # 4 imgs / batch 2 -> crosses an epoch boundary
+    s2 = take(5, seed=11)
+    for x, y in zip(s1, s2):
+        np.testing.assert_array_equal(x, y)
+
+    # different epochs and different seeds draw different crops
+    assert any(not np.array_equal(s1[0], s1[i]) for i in (2, 4))
+    s3 = take(1, seed=12)
+    assert not np.array_equal(s1[0], s3[0])
+
+
 def test_wikiart_csv_dataset(tmp_path):
     img_root = tmp_path / "images"
     rows = []

@@ -102,6 +102,100 @@ def test_activations_batching_consistent():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_inception_pool3_matches_torch_oracle(tmp_path):
+    """The #1 verification gap from round 2: the JAX InceptionV3 port vs an
+    INDEPENDENT torch implementation of pytorch_fid's FID variant
+    (tests/torch_fid_inception.py), weights transplanted through
+    ``load_torch_weights``'s state_dict naming.  f64, full 299x299 input.
+    Locks the port's math so a real pt_inception-2015-12-05 weights file
+    immediately yields reference-comparable FID (musem_fid.py:90-123)."""
+    import torch
+
+    from pgx.eval.inception import load_torch_weights
+    from tests.torch_fid_inception import FIDInceptionV3, randomize_
+
+    model = randomize_(FIDInceptionV3(), seed=0).double().eval()
+    sd_path = os.path.join(str(tmp_path), "rand_inception.pt")
+    torch.save(model.state_dict(), sd_path)
+
+    params = load_torch_weights(sd_path)
+    # naming completeness both directions: the loader consumed every conv
+    # the torch net has, and fills every slot the JAX init creates
+    assert set(params.keys()) == set(init_inception(jax.random.PRNGKey(0)))
+
+    rng = np.random.RandomState(1)
+    x = (rng.rand(2, 299, 299, 3) * 2.0 - 1.0).astype(np.float64)
+    p64 = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    feats_jax = np.asarray(inception_pool3(p64, x))
+    with torch.no_grad():
+        feats_t = model(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    assert feats_jax.shape == feats_t.shape == (2, 2048)
+    np.testing.assert_allclose(feats_jax, feats_t, rtol=1e-6, atol=1e-6)
+
+
+def test_fid_end_to_end_matches_torch_stack(tmp_path):
+    """End-to-end FID equality of the two stacks (preprocess -> pool3 ->
+    statistics -> Frechet) on synthetic data, f32 — the configuration the
+    sweep drivers actually run."""
+    import torch
+
+    from pgx.eval import calculate_fid_given_data
+    from pgx.eval.inception import load_torch_weights
+    from tests.torch_fid_inception import FIDInceptionV3, randomize_
+
+    model = randomize_(FIDInceptionV3(), seed=3).eval()
+    sd_path = os.path.join(str(tmp_path), "rand_inception.pt")
+    torch.save(model.state_dict(), sd_path)
+    params = load_torch_weights(sd_path)
+
+    def torch_extractor(batch_nhwc):
+        with torch.no_grad():
+            t = torch.from_numpy(
+                np.ascontiguousarray(batch_nhwc.transpose(0, 3, 1, 2)))
+            return model(t).numpy()
+
+    rng = np.random.RandomState(4)
+    a = (rng.rand(8, 16, 16, 3) * 255).astype(np.uint8)
+    b = (rng.rand(8, 16, 16, 3) * 255).astype(np.uint8)
+    fid_jax = calculate_fid_given_data(a, b, make_extractor(params),
+                                       batch_size=4)
+    fid_torch = calculate_fid_given_data(a, b, torch_extractor, batch_size=4)
+    assert np.isfinite(fid_jax) and fid_jax > 0
+    assert abs(fid_jax - fid_torch) <= 1e-3 * max(abs(fid_torch), 1.0)
+
+
+def test_generate_samples_labels_class_balanced(monkeypatch):
+    """Conditional sweeps must draw class-BALANCED labels (shuffled
+    round-robin) to match the real-side statistics, which are computed over
+    class-balanced subsets (datasets._balanced_subset_indices) — not
+    uniform-random labels."""
+    import pgx.eval.sweep as sweep_mod
+    from pgx.models import zoo
+
+    captured = []
+
+    def fake_make_eval_generate(gcfg, *, step, fading):
+        def gen(params, z, labels, alpha):
+            captured.append(np.asarray(labels))
+            return np.zeros((z.shape[0], 4, 4, 1), np.float32)
+        return gen
+
+    monkeypatch.setattr(sweep_mod, "make_eval_generate",
+                        fake_make_eval_generate)
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, channel=8)
+    out = sweep_mod.generate_samples(
+        None, gcfg, step=0, alpha=1.0, fading=False, num_samples=25,
+        batch_size=8, seed=0, num_classes=10)
+    assert out.shape[0] == 25
+    labels = np.concatenate(captured)
+    counts = np.bincount(labels, minlength=10)
+    # 25 samples over 10 classes -> every class 2 or 3 times
+    assert counts.min() >= 2 and counts.max() <= 3
+    # shuffled, not sorted round-robin blocks
+    assert not np.array_equal(labels[:10], np.arange(10))
+
+
 @pytest.mark.slow
 def test_sweep_trial_end_to_end(tmp_path):
     """Train a tiny run, then sweep its checkpoints with a random-weight
