@@ -68,3 +68,33 @@ def test_two_process_training(tmp_path):
     for row in lines[1:]:
         vals = [float(v) for v in row.split(",")[1:]]
         assert all(abs(v) < 1e6 for v in vals), row
+
+    # --- phase 2: multi-host RESUME without a shared filesystem ---------
+    # Process 0 resumes from the real trial dir; process 1 is given a path
+    # that does NOT exist on its "filesystem" — the saved configs, newest
+    # checkpoint choice, and restored state must be resolved on process 0
+    # and broadcast (pgx/train/loop.py resume path), never read locally.
+    port2 = _free_port()
+    ghost = os.path.join(str(tmp_path), "ghost", trials[0])
+    procs = []
+    for pid in range(2):
+        argv = [
+            sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+            "--synthetic", "--multihost",
+            "--coordinator-address", f"127.0.0.1:{port2}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--total-iter", "16", "--batch-size", "8", "--channels", "8",
+            "--max-step", "2", "--sample-every", "8",
+            "--checkpoint-every", "8", "--log-every", "4",
+            "--output", str(tmp_path),
+            "--resume", trial if pid == 0 else ghost,
+        ]
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"resume process {pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+    ckpts = os.listdir(os.path.join(trial, "checkpoint"))
+    assert any(n.startswith("016_") for n in ckpts), ckpts
