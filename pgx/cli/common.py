@@ -34,6 +34,12 @@ def add_common_args(p: argparse.ArgumentParser,
                    help="rematerialize G/D activations in the backward "
                         "(jax.checkpoint): slower per step, much lower "
                         "HBM — for big batches at high resolutions")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "convs", "d_only"],
+                   help="with --remat: 'full' saves nothing; 'convs' saves "
+                        "conv/matmul outputs and recomputes only the cheap "
+                        "elementwise chains; 'd_only' checkpoints only D's "
+                        "forwards (the GP double-backward path)")
     p.add_argument("--gp-every", type=int, default=1,
                    help="lazy regularization: apply the gradient penalty "
                         "every N iterations with lambda scaled by N "

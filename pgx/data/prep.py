@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv
 import os
 import zipfile
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
@@ -120,6 +120,75 @@ def cut_based_on_point(img: np.ndarray, cx: int, cy: int) -> np.ndarray:
     y0 = int(np.clip(cy - size // 2, 0, h - size))
     x0 = int(np.clip(cx - size // 2, 0, w - size))
     return img[y0:y0 + size, x0:x0 + size]
+
+
+def default_face_detector() -> Optional[Callable]:
+    """Best available face detector as ``img -> (cx, cy) | None``.
+
+    Tries, in order: facenet-pytorch MTCNN (the reference's detector,
+    face_detection_tests.py:12-26), the standalone ``mtcnn`` package, and
+    cv2's Haar cascade.  Returns None when no detector library is installed
+    (this image ships none) — callers then fall back to the content-aware
+    crop.  Returned detectors yield the center of the highest-confidence
+    face box.
+    """
+    try:
+        from facenet_pytorch import MTCNN  # noqa: F401 (absent here)
+        det = MTCNN(keep_all=False)
+
+        def facenet_detect(img: np.ndarray):
+            boxes, _ = det.detect(img)
+            if boxes is None or len(boxes) == 0:
+                return None
+            x0, y0, x1, y1 = boxes[0]
+            return int((x0 + x1) / 2), int((y0 + y1) / 2)
+        return facenet_detect
+    except ImportError:
+        pass
+    try:
+        from mtcnn import MTCNN  # noqa: F401 (absent here)
+        det = MTCNN()
+
+        def mtcnn_detect(img: np.ndarray):
+            faces = det.detect_faces(img)
+            if not faces:
+                return None
+            x0, y0, w, h = max(faces,
+                               key=lambda f: f["confidence"])["box"]
+            return int(x0 + w / 2), int(y0 + h / 2)
+        return mtcnn_detect
+    except ImportError:
+        pass
+    try:
+        import cv2
+        cascade = cv2.CascadeClassifier(
+            cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
+
+        def cv2_detect(img: np.ndarray):
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+            faces = cascade.detectMultiScale(gray, 1.1, 4)
+            if len(faces) == 0:
+                return None
+            x0, y0, w, h = max(faces, key=lambda f: f[2] * f[3])
+            return int(x0 + w / 2), int(y0 + h / 2)
+        return cv2_detect
+    except Exception:
+        return None
+
+
+def cut_face(img: np.ndarray,
+             detector: Optional[Callable] = None) -> np.ndarray:
+    """Face-centered square crop (face_detection_tests.py:27-64): run a
+    detector (any ``img -> (cx, cy) | None`` callable; defaults to the best
+    installed one) and center the max-square crop on the face, falling back
+    to the content-aware crop when no detector exists or no face is found —
+    the reference script's manual-review path for undetected faces."""
+    if detector is None:
+        detector = default_face_detector()
+    point = detector(img) if detector is not None else None
+    if point is None:
+        return cut_to_square(img)
+    return cut_based_on_point(img, point[0], point[1])
 
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")

@@ -62,6 +62,17 @@ class TrainConfig:
                            # activations in the backward instead of storing
                            # them — trades ~repeated forward FLOPs for HBM,
                            # enabling larger batches at high resolutions
+    remat_policy: str = "full"
+    # What remat=True rematerializes:
+    #   "full"  — save nothing (blanket jax.checkpoint; max memory savings,
+    #             ~0.73x speed at 256px)
+    #   "convs" — save conv/matmul outputs, recompute only the cheap
+    #             elementwise epilogues/reshapes (jax.checkpoint policy
+    #             matching conv_general_dilated/dot_general) — most of the
+    #             memory win at a fraction of the recompute FLOPs
+    #   "d_only" — blanket-checkpoint only D's forwards (the GP
+    #             double-backward path, where activation memory actually
+    #             explodes); G keeps its residuals
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -135,8 +146,17 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     if tc.remat:
         # rematerialize activations in the backward passes (incl. through
         # the GP's nested grad — jax.checkpoint composes with AD)
-        g_fwd = jax.checkpoint(g_fwd)
-        d_fwd = jax.checkpoint(d_fwd)
+        if tc.remat_policy == "convs":
+            def _conv_saveable(prim, *_, **__):
+                return prim.name in ("conv_general_dilated", "dot_general")
+            g_fwd = jax.checkpoint(g_fwd, policy=_conv_saveable)
+            d_fwd = jax.checkpoint(d_fwd, policy=_conv_saveable)
+        elif tc.remat_policy == "d_only":
+            d_fwd = jax.checkpoint(d_fwd)
+        else:
+            assert tc.remat_policy == "full", tc.remat_policy
+            g_fwd = jax.checkpoint(g_fwd)
+            d_fwd = jax.checkpoint(d_fwd)
 
     def train_step(state, real, labels, alpha):
         rng = state["rng"]
@@ -161,6 +181,12 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         else:
             aug_d_fake = aug_g_fake = lambda img: img
 
+        # NOTE (measured, round 3): do NOT run this G forward through the
+        # fused Pallas conv+epilogue kernel even though it is forward-only
+        # (stop_gradient).  XLA CSEs this subgraph with the G update's
+        # forward below (same params, same z), so it is already FREE when
+        # update_g; a different kernel here breaks the CSE and costs 6%
+        # end-to-end (130.2 -> 122.7 img/s at the 128px flagship).
         fake = aug_d_fake(g_fwd(state["g"], z, lab, alpha))
         fake = jax.lax.stop_gradient(fake)
 
@@ -244,6 +270,12 @@ def make_eval_generate(gcfg: GeneratorConfig, *, step: int,
                        fading: bool = False):
     """Jitted sampling from (usually) the EMA generator — the one sampling
     wrapper shared by the train loop and the FID sweep."""
+    # NOTE (measured, round 3): sampling is forward-only, but scoping the
+    # fused Pallas conv+epilogue kernel here LOSES in-situ (19.1 -> 29.5 ms
+    # per 64-image 128px G forward) despite winning per-shape microbenches —
+    # the kernel boundary blocks XLA's cross-op scheduling, the same
+    # failure mode as round 2's standalone epilogue kernel.  It stays
+    # opt-in via pgx.core.layers.fused_conv_scope.
     @jax.jit
     def generate(params, z, labels=None, alpha=1.0):
         lab = labels if gcfg.conditioning != "none" else None

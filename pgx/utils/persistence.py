@@ -48,6 +48,53 @@ def snapshot_sources(trial_dir: str, package_root: str = None) -> str:
     return path
 
 
+def restore_from_snapshot(trial_dir: str, dest: str = None,
+                          verify: bool = True) -> str:
+    """Materialize a trial's exact source tree from its ``src_snapshot``
+    as an importable package root; returns the directory to put on
+    ``sys.path`` / ``PYTHONPATH``.
+
+    This is the restore half of the reference's ``persistent_class``
+    capability (ada/torch_utils/persistence.py:35): checkpoints there embed
+    class source so old pickles outlive code changes; pgx checkpoints are
+    code-free, so longevity instead comes from re-running against the
+    snapshotted sources.  Use from a FRESH interpreter (a package already
+    imported in this process is not retroactively swapped):
+
+        root = restore_from_snapshot(trial_dir)
+        subprocess.run([sys.executable, "-m", "pgx.cli.generate", ...],
+                       env={**os.environ, "PYTHONPATH": root})
+
+    With ``verify`` (default), every snapshot file is checked against the
+    manifest's sha256 before restoring — a corrupted/tampered snapshot
+    raises instead of silently reviving wrong code.
+    """
+    snap_root = os.path.join(trial_dir, "src_snapshot")
+    manifest_path = os.path.join(snap_root, "MANIFEST.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if verify:
+        bad = {}
+        for rel, digest in manifest.items():
+            src = os.path.join(snap_root, "pgx", rel)
+            if not os.path.exists(src):
+                bad[rel] = "missing"
+                continue
+            with open(src, "rb") as fh:
+                if hashlib.sha256(fh.read()).hexdigest() != digest:
+                    bad[rel] = "corrupt"
+        if bad:
+            raise ValueError(
+                f"snapshot in {trial_dir} fails manifest verification: "
+                f"{bad}")
+    dest = dest or os.path.join(trial_dir, "restored_src")
+    dst_pkg = os.path.join(dest, "pgx")
+    if os.path.exists(dst_pkg):
+        shutil.rmtree(dst_pkg)
+    shutil.copytree(os.path.join(snap_root, "pgx"), dst_pkg)
+    return dest
+
+
 def verify_snapshot(trial_dir: str) -> Dict[str, str]:
     """Compare the snapshot manifest against the currently-importable pgx;
     returns {relpath: 'changed'|'missing'} for any drift (empty == clean)."""

@@ -1,5 +1,7 @@
 """Infra utilities: training stats, misc helpers, source persistence."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -107,6 +109,37 @@ def test_source_snapshot_roundtrip(tmp_path):
         m = json.load(f)
     assert "core/layers.py" in m
     assert persistence.verify_snapshot(str(tmp_path)) == {}
+
+
+def test_restore_from_snapshot(tmp_path):
+    """Old trials survive breaking refactors: the snapshot restores to an
+    importable package root, a fresh interpreter imports pgx FROM IT, and a
+    tampered snapshot is refused (manifest sha256)."""
+    import json
+    import subprocess
+    import sys
+
+    persistence.snapshot_sources(str(tmp_path))
+    root = persistence.restore_from_snapshot(str(tmp_path))
+    assert os.path.exists(os.path.join(root, "pgx", "__init__.py"))
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import pgx, os; print(os.path.abspath(pgx.__file__))"],
+        capture_output=True, text=True, check=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": root})
+    assert out.stdout.strip().startswith(os.path.abspath(root))
+
+    # tamper with one snapshot file -> verified restore refuses
+    victim = os.path.join(str(tmp_path), "src_snapshot", "pgx",
+                          "core", "layers.py")
+    with open(victim, "a") as f:
+        f.write("\n# tampered\n")
+    import pytest
+    with pytest.raises(ValueError, match="corrupt"):
+        persistence.restore_from_snapshot(str(tmp_path))
+    # unverified restore still materializes (explicit opt-out)
+    assert persistence.restore_from_snapshot(str(tmp_path), verify=False)
 
 
 def test_dnnlib_util_helpers(tmp_path):

@@ -133,6 +133,29 @@ def test_cut_based_on_point_clamps():
     np.testing.assert_array_equal(crop, img[:, :30])
 
 
+def test_cut_face_with_stub_detector():
+    """Pluggable detector interface (face_detection_tests.py:27-64): any
+    ``img -> (cx, cy) | None`` callable drives the face-centered crop; a
+    None result (or no detector installed) falls back to the content-aware
+    crop."""
+    img = np.zeros((40, 120, 3), np.uint8)
+    img[:, 90:110] = 255
+
+    # stub "detector" finds a face at x=20 -> crop is the left window
+    crop = prep.cut_face(img, detector=lambda im: (20, 20))
+    assert crop.shape == (40, 40, 3)
+    np.testing.assert_array_equal(crop, img[:, :40])
+
+    # detector finds nothing -> content-aware fallback (salient right side)
+    crop = prep.cut_face(img, detector=lambda im: None)
+    assert crop.max() == 255
+
+    # no detector library in this image: default resolves to None/cv2 and
+    # cut_face still returns a valid square via the fallback
+    crop = prep.cut_face(img)
+    assert crop.shape == (40, 40, 3)
+
+
 def test_metadata_and_rename(tmp_path):
     from PIL import Image
 

@@ -408,16 +408,21 @@ def test_remat_matches_plain_step():
         np.random.RandomState(0).randn(4, 16, 16, 1).astype(np.float32))
 
     outs = {}
-    for remat in (False, True):
-        tc = dataclasses.replace(TrainConfig(), remat=remat)
+    for key, kwargs in [("plain", dict(remat=False)),
+                        ("full", dict(remat=True)),
+                        ("convs", dict(remat=True, remat_policy="convs")),
+                        ("d_only", dict(remat=True, remat_policy="d_only"))]:
+        tc = dataclasses.replace(TrainConfig(), **kwargs)
         state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
         fn = make_train_step(gcfg, dcfg, tc, step=2, fading=True,
                              donate=False)
         s, m = fn(state, real, None, jnp.float32(0.5))
-        outs[remat] = (jax.device_get(s), jax.device_get(m))
+        outs[key] = (jax.device_get(s), jax.device_get(m))
 
     # recompute reassociates f32 reductions; Adam's rsqrt amplifies the
     # noise slightly (measured max ~5e-5 on CPU)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4),
-        outs[False], outs[True])
+    for key in ("full", "convs", "d_only"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4,
+                                                    rtol=1e-4),
+            outs["plain"], outs[key])

@@ -63,10 +63,19 @@ def reference_iteration(G, D, g_ema, opt_g, opt_d, real, label, z, eps,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--batches", default="4,16",
+                   help="comma-separated batch sizes; the BEST images/sec "
+                        "across them becomes the recorded baseline (the "
+                        "reference default is 4, but a larger batch "
+                        "amortizes Python/dispatch overhead — give the "
+                        "reference its best case)")
     p.add_argument("--channels", type=int, default=512)
     args = p.parse_args()
+
+    # use every core the host exposes (torch defaults to this, but pin it
+    # explicitly so the recorded number is unambiguous)
+    torch.set_num_threads(os.cpu_count())
 
     from progan_modules import (ConditionalCorrectDiscriminatorWgangp,
                                 ConditionalCorrectGenerator)
@@ -83,30 +92,42 @@ def main():
     opt_g = optim.Adam(G.parameters(), lr=1e-3, betas=(0.0, 0.99))
     opt_d = optim.Adam(D.parameters(), lr=1e-3, betas=(0.0, 0.99))
 
-    b = args.batch
     rng = np.random.RandomState(0)
-    real = torch.from_numpy(rng.randn(b, 3, 128, 128).astype(np.float32))
-    label = torch.from_numpy(rng.randint(0, 10, b))
-    z = torch.from_numpy(rng.randn(b, 512).astype(np.float32))
-    eps = torch.from_numpy(rng.rand(b, 1, 1, 1).astype(np.float32))
+    per_batch = {}
+    for b in [int(s) for s in args.batches.split(",")]:
+        real = torch.from_numpy(rng.randn(b, 3, 128, 128).astype(np.float32))
+        label = torch.from_numpy(rng.randint(0, 10, b))
+        z = torch.from_numpy(rng.randn(b, 512).astype(np.float32))
+        eps = torch.from_numpy(rng.rand(b, 1, 1, 1).astype(np.float32))
 
-    # warmup
-    reference_iteration(G, D, g_ema, opt_g, opt_d, real, label, z, eps, 6,
-                        1.0)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+        # warmup
         reference_iteration(G, D, g_ema, opt_g, opt_d, real, label, z, eps,
                             6, 1.0)
-    dt = time.perf_counter() - t0
-    ips = b * args.iters / dt
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            reference_iteration(G, D, g_ema, opt_g, opt_d, real, label, z,
+                                eps, 6, 1.0)
+        dt = time.perf_counter() - t0
+        per_batch[b] = {
+            "images_per_sec": round(b * args.iters / dt, 3),
+            "seconds_per_iteration": round(dt / args.iters, 2),
+        }
+        print(f"bs={b}: {per_batch[b]}", flush=True)
 
+    best_b = max(per_batch, key=lambda b: per_batch[b]["images_per_sec"])
     out = {
-        "reference_images_per_sec": round(ips, 3),
-        "seconds_per_iteration": round(dt / args.iters, 2),
+        "reference_images_per_sec": per_batch[best_b]["images_per_sec"],
+        "seconds_per_iteration": per_batch[best_b]["seconds_per_iteration"],
+        "best_batch_size": best_b,
+        "per_batch": per_batch,
         "workload": ("conditional proper 128px G+D WGAN-GP iteration, "
-                     f"z=512 ch={args.channels} classes=10 bs={b}"),
-        "hardware": f"torch-cpu ({torch.get_num_threads()} threads); "
-                    "the reference has no TPU path",
+                     f"z=512 ch={args.channels} classes=10; best of "
+                     f"batch sizes {sorted(per_batch)}"),
+        "hardware": (f"torch-cpu, {torch.get_num_threads()} thread(s) = ALL "
+                     f"of this host's {os.cpu_count()} core(s); the "
+                     "reference has no TPU path, so the cross-hardware "
+                     "multiplier mostly reflects TPU-vs-1-CPU-core — the "
+                     "defensible pgx headline is MFU (benchmarks/README.md)"),
         "source": "progan_modules.ConditionalCorrectGenerator/"
                   "ConditionalCorrectDiscriminatorWgangp @ step=6",
     }
