@@ -1,0 +1,107 @@
+"""Remat-policy throughput at high resolution (VERDICT r2 next-step #6).
+
+Round 2 measured blanket remat at the 256px 7-stage flagship: plain maxes
+out at batch 32 (71.2 img/s), --remat reaches batch 64 at 51.7 img/s
+(0.73x/step).  This bench compares the round-3 SELECTIVE policies —
+'convs' (save conv/matmul outputs, recompute elementwise only) and
+'d_only' (checkpoint only the GP double-backward path) — at the same
+shapes.
+
+    python benchmarks/remat_bench.py --step 7 --batch-size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def make_configs(step, dtype):
+    """Conditional proper-arch G/D grown past the zoo's 128px ceiling.
+
+    The zoo's ConditionalCorrect family stops at 6 stages (128px, matching
+    the reference); the 256/512px stages use the grown-net channel plan the
+    round-2 rows in benchmarks/README.md used (halving past 512: 256, 128,
+    64, 32 — the standard PGGAN plan).
+    """
+    from pgx.models.config import DiscriminatorConfig, GeneratorConfig
+
+    n = step  # proper arch: out_stage = step - 1 -> need `step` stages
+    full = [512, 512, 512, 512]
+    g_ch = tuple((full + [512 // 2 ** k for k in range(1, 8)])[:n])
+    d_in = g_ch
+    d_out = (d_in[0],) + d_in[:-1]
+    gcfg = GeneratorConfig(
+        z_dim=512, channels=g_ch, pixel_norm=True, tanh=False,
+        max_step=step, arch="proper", conditioning="concat", num_classes=10,
+        embed_dim=512, dtype=dtype)
+    dcfg = DiscriminatorConfig(
+        stage_in=d_in, stage_out=d_out, arch="proper",
+        conditioning="label_plane", num_classes=10, max_step=step,
+        dtype=dtype)
+    return gcfg, dcfg
+
+
+def bench(policy, remat, step, batch, dtype, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    gcfg, dcfg = make_configs(step, dtype)
+    tc = dataclasses.replace(TrainConfig(), remat=remat,
+                             remat_policy=policy)
+    state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+
+    res = 4 * 2 ** (step - 1)
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(batch, res, res, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 10, batch))
+    alpha = jnp.float32(1.0)
+
+    fn = make_train_step(gcfg, dcfg, tc, step=step, fading=False)
+    state, m = fn(state, real, labels, alpha)
+    float(m["d_total"])
+    state, m = fn(state, real, labels, alpha)
+    float(m["d_total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = fn(state, real, labels, alpha)
+    float(m["d_total"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch * steps / (dt * steps)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--step", type=int, default=7, help="7 = 256px")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--policies", default="none,full,convs,d_only",
+                   help="'none' = plain step (remat off) baseline")
+    args = p.parse_args()
+
+    res = 4 * 2 ** (args.step - 1)
+    for policy in args.policies.split(","):
+        try:
+            ips = bench(policy if policy != "none" else "full",
+                        policy != "none", args.step, args.batch_size,
+                        args.dtype, args.steps)
+            print(f"{res}px bs={args.batch_size} remat={policy}: "
+                  f"{ips:.1f} img/s", flush=True)
+        except Exception as e:  # OOM etc. — record and continue
+            print(f"{res}px bs={args.batch_size} remat={policy}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
