@@ -26,6 +26,7 @@ equal to the input dtype keeps forward and VJP kernels dtype-consistent
 from __future__ import annotations
 
 import math
+import threading
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -335,45 +336,52 @@ def conv_epilogue(y: jnp.ndarray, b: jnp.ndarray, use_pixel_norm: bool,
     return leaky_relu(y, slope)
 
 
-_FUSED_SCOPE = []          # trace-time stack; see fused_conv_scope
+_FUSED_SCOPE = threading.local()  # per-thread trace-time stack
 
 
 class fused_conv_scope:
     """Trace-time scope forcing the fused conv kernel on (or off) for the
-    enclosed apply calls — used by the training step to enable it on
-    KNOWN-forward-only positions (the D step's stop_gradient'd G forward,
-    eval sampling), where the microbench shows a pure win (1.06x at 16^2,
-    1.26x at 32^2) with no custom_vjp residual trade-off."""
+    enclosed apply calls.  This is an opt-in EXPERIMENTATION hook: no
+    production path uses it.  Scoping it into the training step's two
+    forward-only positions (the D step's stop_gradient'd G forward, eval
+    sampling) was measured as an end-to-end REGRESSION (130.2 -> 122.7
+    img/s flagship; 19.1 -> 29.5 ms sampling) despite the kernel's
+    isolated microbench win (1.06x at 16^2, 1.26x at 32^2) — the pallas_call
+    boundary blocks XLA's cross-op scheduling; see the round-3 notes in
+    pgx/train/wgan.py and benchmarks/README.md before re-enabling."""
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
 
     def __enter__(self):
-        _FUSED_SCOPE.append(self.enabled)
+        stack = getattr(_FUSED_SCOPE, "stack", None)
+        if stack is None:
+            stack = _FUSED_SCOPE.stack = []
+        stack.append(self.enabled)
         return self
 
     def __exit__(self, *exc):
-        _FUSED_SCOPE.pop()
+        _FUSED_SCOPE.stack.pop()
         return False
 
 
 def _fused_conv_enabled() -> bool:
     """Dispatch switch for the one-pass Pallas conv3x3+epilogue kernel
     (see pgx/ops/pallas/conv_epilogue.py): ON only inside a
-    ``fused_conv_scope`` — the positions the training step knows are
-    forward-only or first-order (its custom_vjp cannot sit under the
-    WGAN-GP double-backward: custom_vjp is once-differentiable, so D's
-    conv blocks must stay XLA).  ``PGX_DISABLE_FUSED_CONV=1`` kills it
-    everywhere.  Note: the fused kernel accumulates the pixel-norm
-    statistic in f32 (the default XLA path deliberately stays bf16,
-    pixel_norm above) — numerics are slightly *better*, not bit-identical,
-    where it applies."""
+    ``fused_conv_scope`` — positions that are forward-only or first-order
+    (its custom_vjp cannot sit under the WGAN-GP double-backward:
+    custom_vjp is once-differentiable, so D's conv blocks must stay XLA).
+    ``PGX_DISABLE_FUSED_CONV=1`` kills it everywhere.  Note: the fused
+    kernel accumulates the pixel-norm statistic in f32 (the default XLA
+    path deliberately stays bf16, pixel_norm above) — numerics are
+    slightly *better*, not bit-identical, where it applies."""
     import os
 
     from pgx.ops.pallas import pallas_available
     if os.environ.get("PGX_DISABLE_FUSED_CONV"):
         return False
-    return bool(_FUSED_SCOPE and _FUSED_SCOPE[-1]) and pallas_available()
+    stack = getattr(_FUSED_SCOPE, "stack", None)
+    return bool(stack and stack[-1]) and pallas_available()
 
 
 def _maybe_fused_conv_step(p: Params, x: jnp.ndarray, padding: int,

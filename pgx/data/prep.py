@@ -21,6 +21,7 @@ section 2.7 / L7).
 from __future__ import annotations
 
 import csv
+import functools
 import os
 import zipfile
 from typing import Callable, Optional, Tuple
@@ -122,8 +123,12 @@ def cut_based_on_point(img: np.ndarray, cx: int, cy: int) -> np.ndarray:
     return img[y0:y0 + size, x0:x0 + size]
 
 
+@functools.lru_cache(maxsize=1)
 def default_face_detector() -> Optional[Callable]:
     """Best available face detector as ``img -> (cx, cy) | None``.
+    Cached: detector construction (MTCNN weight load / cascade parse) is
+    far more expensive than a detect call, and cut_face resolves it per
+    image when none is passed.
 
     Tries, in order: facenet-pytorch MTCNN (the reference's detector,
     face_detection_tests.py:12-26), the standalone ``mtcnn`` package, and
@@ -163,6 +168,11 @@ def default_face_detector() -> Optional[Callable]:
         import cv2
         cascade = cv2.CascadeClassifier(
             cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
+        # CascadeClassifier does not raise on a missing/corrupt cascade
+        # file — it yields an empty classifier whose detectMultiScale
+        # errors at call time; treat that as "no detector installed"
+        if cascade.empty():
+            return None
 
         def cv2_detect(img: np.ndarray):
             gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)

@@ -74,71 +74,15 @@ def _pick_batch_tile(x: jnp.ndarray, cout: int) -> int:
     return bt
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, *, use_pn, slope, eps):
-    bt, h, wd, cin = x_ref.shape
-    co = o_ref.shape[-1]
-    x = x_ref[:]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    m = bt * h * wd
-    acc = jnp.zeros((m, co), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xs = lax.slice(xp, (0, dy, dx, 0),
-                           (bt, dy + h, dx + wd, cin))
-            acc = acc + jnp.dot(xs.reshape(m, cin), w_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
-    y = acc + b_ref[:].astype(jnp.float32)
-    if use_pn:
-        ssq = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
-        y = y * lax.rsqrt(ssq * (1.0 / co) + eps)
-    y = jnp.where(y >= 0, y, slope * y)
-    o_ref[:] = y.astype(o_ref.dtype).reshape(bt, h, wd, co)
-
-
-def conv3x3_epilogue_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                         *, use_pixel_norm: bool = True, slope: float = 0.2,
-                         eps: float = 1e-8,
-                         interpret: bool = None) -> jnp.ndarray:
-    """y = lrelu(pixel_norm(conv3x3_same(x, w) + b)) in ONE HBM pass.
-
-    ``w`` is the PRE-SCALED HWIO kernel (the EqualLR constant already
-    folded, as ``equal_conv2d`` computes it); ``b`` the bias.
-    """
-    bsz, h, wd, cin = x.shape
-    cout = w.shape[3]
-    bt = _pick_batch_tile(x, cout)
-    assert bt >= 1 and bsz % bt == 0, (bsz, bt)
-    if interpret is None:
-        interpret = _interpret_default()
-    wb = w.astype(x.dtype)
-    bb = b.astype(x.dtype).reshape(1, cout)
-    return pl.pallas_call(
-        functools.partial(_kernel, use_pn=use_pixel_norm, slope=slope,
-                          eps=eps),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype),
-        grid=(bsz // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, h, wd, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, h, wd, cout), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, wb, bb)
-
-
-def _kernel_with_r(x_ref, w_ref, b_ref, o_ref, r_ref, *, use_pn, slope,
-                   eps):
-    """Forward variant that also writes the pixel-norm scale
-    r = rsqrt(mean_c(u^2) + eps) as a (bt, h, w, 1) residual — 1/C_out the
-    size of the activation.  The backward reconstructs everything else from
-    the OUTPUT y (alive downstream anyway): leaky-relu is invertible
+def _kernel(x_ref, w_ref, b_ref, o_ref, r_ref=None, *, use_pn, slope, eps):
+    """One body for both variants: when ``r_ref`` is given (the
+    differentiated forward) the pixel-norm scale r = rsqrt(mean+eps) is
+    additionally written as a (bt, h, w, 1) residual — 1/C_out the size of
+    the activation; the backward reconstructs everything else from the
+    OUTPUT y (alive downstream anyway): leaky-relu is invertible
     (v = y / lrelu'(y)) and u = v / r, so no full-size pre-activation ever
-    hits HBM."""
+    hits HBM.  ``r_ref`` is only emitted when use_pn is True (without
+    pixel-norm the backward needs no residual at all)."""
     bt, h, wd, cin = x_ref.shape
     co = o_ref.shape[-1]
     x = x_ref[:]
@@ -155,26 +99,47 @@ def _kernel_with_r(x_ref, w_ref, b_ref, o_ref, r_ref, *, use_pn, slope,
     if use_pn:
         ssq = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
         r = lax.rsqrt(ssq * (1.0 / co) + eps)
-        r_ref[:] = r.reshape(bt, h, wd, 1)
+        if r_ref is not None:
+            r_ref[:] = r.reshape(bt, h, wd, 1)
         y = y * r
-    else:
-        r_ref[:] = jnp.ones((bt, h, wd, 1), jnp.float32)
     y = jnp.where(y >= 0, y, slope * y)
     o_ref[:] = y.astype(o_ref.dtype).reshape(bt, h, wd, co)
 
 
-def _fwd_with_r(x, w, b, *, use_pixel_norm, slope, eps):
+def conv3x3_epilogue_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                         *, use_pixel_norm: bool = True, slope: float = 0.2,
+                         eps: float = 1e-8, interpret: bool = None,
+                         emit_r: bool = False):
+    """y = lrelu(pixel_norm(conv3x3_same(x, w) + b)) in ONE HBM pass.
+
+    ``w`` is the PRE-SCALED HWIO kernel (the EqualLR constant already
+    folded, as ``equal_conv2d`` computes it); ``b`` the bias.  With
+    ``emit_r`` (differentiated forward; requires pixel-norm) returns
+    ``(y, r)`` where r is the pixel-norm scale residual.
+    """
+    assert not (emit_r and not use_pixel_norm), \
+        "r is only defined (and only needed) for the pixel-norm variant"
     bsz, h, wd, cin = x.shape
     cout = w.shape[3]
     bt = _pick_batch_tile(x, cout)
     assert bt >= 1 and bsz % bt == 0, (bsz, bt)
+    if interpret is None:
+        interpret = _interpret_default()
     wb = w.astype(x.dtype)
     bb = b.astype(x.dtype).reshape(1, cout)
+    out_shape = jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype)
+    out_spec = pl.BlockSpec((bt, h, wd, cout), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if emit_r:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bsz, h, wd, 1), jnp.float32)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((bt, h, wd, 1), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
     return pl.pallas_call(
-        functools.partial(_kernel_with_r, use_pn=use_pixel_norm,
-                          slope=slope, eps=eps),
-        out_shape=[jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype),
-                   jax.ShapeDtypeStruct((bsz, h, wd, 1), jnp.float32)],
+        functools.partial(_kernel, use_pn=use_pixel_norm, slope=slope,
+                          eps=eps),
+        out_shape=out_shape,
         grid=(bsz // bt,),
         in_specs=[
             pl.BlockSpec((bt, h, wd, cin), lambda i: (i, 0, 0, 0),
@@ -184,13 +149,8 @@ def _fwd_with_r(x, w, b, *, use_pixel_norm, slope, eps):
             pl.BlockSpec((1, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bt, h, wd, cout), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, h, wd, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        interpret=_interpret_default(),
+        out_specs=out_spec,
+        interpret=interpret,
     )(x, wb, bb)
 
 
@@ -217,8 +177,13 @@ def make_conv3x3_epilogue(use_pixel_norm: bool = True, slope: float = 0.2,
                                     slope=slope, eps=eps)
 
     def op_fwd(x, w, b):
-        y, r = _fwd_with_r(x, w, b, use_pixel_norm=use_pixel_norm,
-                           slope=slope, eps=eps)
+        if use_pixel_norm:
+            y, r = conv3x3_epilogue_fwd(x, w, b, use_pixel_norm=True,
+                                        slope=slope, eps=eps, emit_r=True)
+        else:  # backward needs no residual: lrelu inverts from y alone
+            y = conv3x3_epilogue_fwd(x, w, b, use_pixel_norm=False,
+                                     slope=slope, eps=eps)
+            r = None
         return y, (x, w, y, r)
 
     def op_bwd(res, g):

@@ -202,9 +202,22 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             gcfg, dcfg = saved[0], saved[1]
             key = jax.random.PRNGKey(loop_cfg.seed)
             state = init_train_state(key, gcfg, dcfg, tc)
+        # Broadcast the load OUTCOME before the state collectives: if the
+        # restore fails on process 0 only (e.g. a resume dir with no
+        # checkpoints), every host must raise the same error — otherwise
+        # non-main hosts hang in broadcast_state until the DCN timeout.
+        load_err = None
         if is_main:
-            state, start_iter = _load_newest_state(trial_dir, state)
-        start_iter = broadcast_obj(start_iter if is_main else None)
+            try:
+                state, start_iter = _load_newest_state(trial_dir, state)
+            except Exception as e:  # re-raised on every host below
+                load_err = f"{type(e).__name__}: {e}"
+        load_err, start_iter = broadcast_obj(
+            (load_err, start_iter) if is_main else None)
+        if load_err is not None:
+            raise RuntimeError(
+                f"resume failed on process 0: {load_err} (trial dir: "
+                f"{trial_dir})")
         state = broadcast_state(state)
     elif is_main:
         trial_dir, postfix = make_trial_dir(loop_cfg)

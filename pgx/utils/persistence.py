@@ -83,6 +83,20 @@ def restore_from_snapshot(trial_dir: str, dest: str = None,
             with open(src, "rb") as fh:
                 if hashlib.sha256(fh.read()).hexdigest() != digest:
                     bad[rel] = "corrupt"
+        # files PRESENT in the snapshot but absent from the manifest are
+        # also tampering (a planted module would otherwise be restored
+        # unverified into the importable root)
+        pkg_root = os.path.join(snap_root, "pgx")
+        for dirpath, _, names in os.walk(pkg_root):
+            if "__pycache__" in dirpath:  # byte-compiled later, not source
+                continue
+            for name in names:
+                if not name.endswith(".py"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, name),
+                                      pkg_root).replace(os.sep, "/")
+                if rel not in manifest:
+                    bad[rel] = "unlisted"
         if bad:
             raise ValueError(
                 f"snapshot in {trial_dir} fails manifest verification: "
