@@ -38,6 +38,8 @@ def main(argv=None):
         batch_size=args.batch_size, sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, use_mesh=args.use_mesh,
+        model_parallel=args.model_parallel,
+        model_parallel_mode=args.model_parallel_mode,
         checkpoint_backend=args.checkpoint_backend)
     aug_cfg, ada_cfg = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,

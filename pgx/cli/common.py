@@ -68,6 +68,18 @@ def add_common_args(p: argparse.ArgumentParser,
                    default=defaults.get("log_every", 500))
     p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
                    default=True)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="model-axis shards on a 2-D (data, model) mesh: "
+                        "params channel-sharded (or images H-sharded with "
+                        "--model-parallel-mode spatial) over this many "
+                        "devices; use when one chip's HBM binds at high "
+                        "resolution (pgx/parallel/tp.py)")
+    p.add_argument("--model-parallel-mode", default="channels",
+                   choices=["channels", "spatial"],
+                   help="'channels': tensor parallelism (params + Adam "
+                        "moments + widest activations split); 'spatial': "
+                        "replicated params, images sharded over H (GSPMD "
+                        "halo-exchange convs)")
     p.add_argument("--checkpoint-backend", default="npz",
                    choices=["npz", "orbax"],
                    help="full-train-state format: npz/msgpack (default, "

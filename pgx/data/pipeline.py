@@ -76,9 +76,13 @@ class DevicePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, iterator, mesh=None, depth: int = 2):
+    def __init__(self, iterator, mesh=None, depth: int = 2,
+                 image_sharding=None):
         from pgx.parallel import batch_sharding
         self._sharding = batch_sharding(mesh) if mesh is not None else None
+        # spatial model-parallelism shards the image H dim too; labels
+        # stay batch-sharded (pgx/parallel/tp.py spatial_batch_sharding)
+        self._image_sharding = image_sharding or self._sharding
         # multi-host: each process feeds its slice of the global batch and
         # the shards are stitched into one global array (SURVEY.md 2.8 —
         # the InfiniteSampler(rank, num_replicas) equivalent)
@@ -94,13 +98,13 @@ class DevicePrefetcher:
         imgs, labels = batch
         if self._sharding is not None:
             if self._multihost:
-                put = lambda a: jax.make_array_from_process_local_data(
-                    self._sharding, np.asarray(a))
+                put = lambda a, sh: jax.make_array_from_process_local_data(
+                    sh, np.asarray(a))
             else:
-                put = lambda a: jax.device_put(a, self._sharding)
-            imgs = put(imgs)
+                put = lambda a, sh: jax.device_put(a, sh)
+            imgs = put(imgs, self._image_sharding)
             if labels is not None:
-                labels = put(labels)
+                labels = put(labels, self._sharding)
         return imgs, labels
 
     def _worker(self):

@@ -14,6 +14,13 @@ from pgx.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from pgx.parallel.tp import (  # noqa: F401
+    make_mesh_2d,
+    make_mesh_2d_for_batch,
+    shard_state,
+    spatial_batch_sharding,
+    state_shardings,
+)
 from pgx.parallel.stats import (  # noqa: F401
     Collector,
     check_replica_consistency,

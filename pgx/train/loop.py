@@ -52,6 +52,8 @@ class LoopConfig:
     checkpoint_backend: str = "npz"   # "npz" (msgpack full state) | "orbax"
                                       # (async step-indexed full state)
     use_mesh: bool = True
+    model_parallel: int = 1         # model-axis shards (pgx/parallel/tp.py)
+    model_parallel_mode: str = "channels"   # "channels" (TP) | "spatial"
     verbose: bool = True
     snapshot_sources: bool = True   # train.py:87-89 source snapshot
 
@@ -131,8 +133,20 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     """Run training; returns the trial directory path.  ``augment_cfg`` /
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
-    mesh = (make_mesh_for_batch(loop_cfg.batch_size)
-            if loop_cfg.use_mesh else None)
+    if not loop_cfg.use_mesh:
+        mesh = None
+        if loop_cfg.model_parallel > 1:
+            raise ValueError("model_parallel requires use_mesh=True")
+    elif loop_cfg.model_parallel > 1:
+        if loop_cfg.model_parallel_mode not in ("channels", "spatial"):
+            raise ValueError(
+                f"unknown model_parallel_mode "
+                f"{loop_cfg.model_parallel_mode!r} (channels|spatial)")
+        from pgx.parallel.tp import make_mesh_2d_for_batch
+        mesh = make_mesh_2d_for_batch(loop_cfg.batch_size,
+                                      loop_cfg.model_parallel)
+    else:
+        mesh = make_mesh_for_batch(loop_cfg.batch_size)
 
     # multi-host (DCN): loop_cfg.batch_size is the GLOBAL batch; each
     # process assembles its slice (distinct data via a per-host seed
@@ -157,12 +171,30 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     orbax_store = None
     use_orbax = loop_cfg.checkpoint_backend == "orbax"
 
+    def host_copy(tree):
+        """Device -> host copy of a state pytree.  Leaves sharded across
+        *processes* (multi-host model parallelism) need a cross-host
+        gather, so every process must enter this together; replicated and
+        locally-sharded leaves are plain device_get."""
+        def fetch(a):
+            if (isinstance(a, jax.Array) and not a.is_fully_addressable
+                    and not a.is_fully_replicated):
+                from jax.experimental import multihost_utils
+                return np.asarray(multihost_utils.process_allgather(
+                    a, tiled=True))
+            return jax.device_get(a)
+        return jax.tree.map(fetch, tree)
+
     def save_full(it, current_state):
         """One checkpoint write (periodic / interrupt / final): the
         reference-format {iter}_g/_d.model param files always; the full
-        train state via the configured backend."""
+        train state via the configured backend.  Collective when the state
+        is sharded across hosts (see host_copy) — call from EVERY process;
+        only process 0 writes."""
         nonlocal orbax_store
-        host_state = jax.device_get(current_state)
+        host_state = host_copy(current_state)
+        if not is_main:
+            return
         ckpt.save_checkpoint(trial_dir, it, host_state,
                              full_state=loop_cfg.keep_full_state
                              and not use_orbax)
@@ -245,7 +277,12 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     + (",ada_p,ada_r" if log_ada else "") + "\n")
 
     if mesh is not None:
-        state = replicate(mesh, state)
+        if (loop_cfg.model_parallel > 1
+                and loop_cfg.model_parallel_mode == "channels"):
+            from pgx.parallel.tp import shard_state
+            state = shard_state(mesh, state)
+        else:
+            state = replicate(mesh, state)
 
     total = (loop_cfg.total_iterations
              if loop_cfg.total_iterations is not None
@@ -270,9 +307,15 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             if st.resolution != current_res:
                 if prefetcher is not None:
                     prefetcher.close()
+                img_sh = None
+                if (mesh is not None and loop_cfg.model_parallel > 1
+                        and loop_cfg.model_parallel_mode == "spatial"):
+                    from pgx.parallel.tp import spatial_batch_sharding
+                    img_sh = spatial_batch_sharding(mesh)
                 prefetcher = DevicePrefetcher(
                     batch_fn(dataset, host_batch, st.resolution,
-                             seed=host_seed + st.step), mesh)
+                             seed=host_seed + st.step), mesh,
+                    image_sharding=img_sh)
                 current_res = st.resolution
 
             imgs, labels = next(prefetcher)
@@ -316,8 +359,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                      f"{str(it).zfill(3)}.png"),
                         np.asarray(images), nrow=sample_nrow)
 
-            if (it % loop_cfg.checkpoint_every == 0 or i == start_iter) \
-                    and is_main:
+            if it % loop_cfg.checkpoint_every == 0 or i == start_iter:
+                # every process enters (save_full gathers cross-host
+                # shards collectively); only process 0 writes
                 try:
                     save_full(it, state)
                 except OSError:
@@ -355,8 +399,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     except (KeyboardInterrupt, SystemExit):
         # failure handling the reference lacks (its ckpt saves are bare
         # try/except, train.py:183-187): an interrupted run leaves a
-        # resumable checkpoint at the exact iteration it stopped
-        if is_main:
+        # resumable checkpoint at the exact iteration it stopped.  Skipped
+        # when the state is sharded across hosts: the collective gather
+        # cannot run from one process's signal handler.
+        cross_host = any(
+            isinstance(a, jax.Array) and not a.is_fully_addressable
+            and not a.is_fully_replicated
+            for a in jax.tree.leaves(state))
+        if is_main and not cross_host:
             it = int(jax.device_get(state["iteration"]))
             try:
                 save_full(it, state)
@@ -366,8 +416,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 pass
         raise
     else:
-        if is_main:
-            save_full(total, state)
+        save_full(total, state)  # collective; process 0 writes
     finally:
         if prefetcher is not None:
             prefetcher.close()
