@@ -112,13 +112,16 @@ def state_shardings(state, mesh: Mesh):
 def shard_state(mesh: Mesh, state):
     """Place a (host or replicated) train state channel-sharded.
 
-    Multi-host safe: like ``replicate``, each process contributes its
-    identical local copy via ``make_array_from_process_local_data``."""
+    Multi-host safe: every process holds the full identical state
+    (same-seed init or broadcast), so each addressable shard is served
+    by slicing the local copy (``make_array_from_callback``)."""
     shardings = state_shardings(state, mesh)
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda a, sh: jax.make_array_from_process_local_data(
-                sh, np.asarray(a)), state, shardings)
+        def place(a, sh):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, sh, lambda idx: a[idx])
+        return jax.tree.map(place, state, shardings)
     return jax.tree.map(jax.device_put, state, shardings)
 
 

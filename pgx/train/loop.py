@@ -353,6 +353,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     jnp.asarray(sample_labels)
                     if sample_labels is not None else None,
                     jnp.float32(st.alpha))
+                # collective when XLA leaves the output sharded across
+                # hosts (model-parallel meshes); no-op otherwise
+                images = host_copy(images)
                 if is_main:
                     save_image_grid(
                         os.path.join(trial_dir, "sample",

@@ -98,3 +98,53 @@ def test_two_process_training(tmp_path):
         assert "MULTIHOST_OK" in out, out
     ckpts = os.listdir(os.path.join(trial, "checkpoint"))
     assert any(n.startswith("016_") for n in ckpts), ckpts
+
+
+@pytest.mark.slow
+def test_two_process_model_parallel(tmp_path):
+    """Tensor parallelism across hosts: a (data=4, model=2) global mesh
+    over 2 processes x 4 devices.  Params are channel-sharded across
+    BOTH processes, so this exercises the paths only cross-host sharding
+    reaches: shard_state's per-shard placement, the collective host_copy
+    (process_allgather) behind every checkpoint save and sample grid, and
+    main-host-only writes of the gathered full arrays."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        argv = [
+            sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+            "--synthetic", "--multihost",
+            "--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--model-parallel", "2",
+            "--total-iter", "8", "--batch-size", "8", "--channels", "8",
+            "--max-step", "2", "--sample-every", "4",
+            "--checkpoint-every", "4", "--log-every", "4",
+            "--output", str(tmp_path),
+        ]
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+
+    trials = [d for d in os.listdir(tmp_path) if d.startswith("trial_")]
+    assert len(trials) == 1, trials
+    trial = os.path.join(tmp_path, trials[0])
+    # the gathered checkpoints hold FULL (unsharded) param arrays
+    from pgx import checkpoint as ckpt
+    gpath = ckpt.latest_checkpoint(trial, "g")
+    assert gpath is not None
+    import numpy as np
+    params = ckpt.load_params(gpath)
+    leaves = [np.asarray(a) for a in __import__("jax").tree.leaves(params)]
+    assert all(np.all(np.isfinite(a.astype(np.float32))) for a in leaves)
+    assert os.listdir(os.path.join(trial, "sample"))
