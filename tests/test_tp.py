@@ -191,3 +191,11 @@ def test_train_loop_model_parallel_e2e(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(host)):
         assert np.asarray(a).shape == np.asarray(b).shape
         assert np.all(np.isfinite(np.asarray(a, np.float32)))
+
+    # resume the sharded trial: restore -> re-shard -> 6 more iterations
+    loop_cfg2 = dataclasses.replace(loop_cfg, total_iterations=12)
+    trial2 = train_loop(gcfg, dcfg, tc, schedule, ds, loop_cfg2,
+                        resume_dir=trial_dir)
+    assert trial2 == trial_dir
+    g2 = ckpt.latest_checkpoint(trial_dir, "g")
+    assert ckpt.checkpoint_iteration(g2) == 12
