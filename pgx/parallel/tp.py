@@ -56,6 +56,17 @@ def make_mesh_2d(n_data: int, n_model: int,
     if len(devices) < need:
         raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
                          f"have {len(devices)}")
+    if jax.process_count() > 1 and jax.local_device_count() % n_model:
+        # The minor model axis must lie within hosts: jax.devices() is
+        # process-major, so model groups are consecutive devices.  A model
+        # axis spanning processes would also make the prefetcher's
+        # process-local batch assembly infer a WRONG global batch (each
+        # host's distinct per-seed slice treated as a replica) — silent
+        # divergence, not a crash — so reject the topology outright.
+        raise ValueError(
+            f"model_parallel={n_model} does not divide the "
+            f"{jax.local_device_count()} local devices per host; the "
+            f"model axis must not span hosts")
     arr = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -128,5 +139,18 @@ def shard_state(mesh: Mesh, state):
 def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
     """NHWC batch sharding for spatial mode: batch over ``data``, image
     height over ``model``.  GSPMD spatially partitions every conv that
-    touches it (halo exchange at the 3x3 borders)."""
+    touches it (halo exchange at the 3x3 borders).
+
+    Multi-host note: the prefetcher assembles global batches from
+    process-local slices along the BATCH dim, so in multi-host runs the
+    model axis must lie within a host (both modes; ``make_mesh_2d``
+    enforces local_device_count % n_model == 0)."""
     return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def use_spatial_sharding(resolution: int, n_model: int) -> bool:
+    """Spatial mode's per-stage gate: early growth stages can be SHORTER
+    than the model axis (4px with --model-parallel 8), where splitting H
+    n_model-ways is impossible — those stages fall back to batch-only
+    sharding.  Powers of two make divisibility the whole condition."""
+    return resolution % n_model == 0

@@ -171,6 +171,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     orbax_store = None
     use_orbax = loop_cfg.checkpoint_backend == "orbax"
 
+    def needs_cross_host_gather(tree):
+        """True iff any leaf is sharded across processes (multi-host model
+        parallelism).  Sharding is identical on every process, so all
+        processes agree — safe to branch collectives on."""
+        return any(
+            isinstance(a, jax.Array) and not a.is_fully_addressable
+            and not a.is_fully_replicated for a in jax.tree.leaves(tree))
+
     def host_copy(tree):
         """Device -> host copy of a state pytree.  Leaves sharded across
         *processes* (multi-host model parallelism) need a cross-host
@@ -192,6 +200,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         is sharded across hosts (see host_copy) — call from EVERY process;
         only process 0 writes."""
         nonlocal orbax_store
+        if not is_main and not needs_cross_host_gather(current_state):
+            return  # replicated case: nothing for non-main to contribute
         host_state = host_copy(current_state)
         if not is_main:
             return
@@ -310,8 +320,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 img_sh = None
                 if (mesh is not None and loop_cfg.model_parallel > 1
                         and loop_cfg.model_parallel_mode == "spatial"):
-                    from pgx.parallel.tp import spatial_batch_sharding
-                    img_sh = spatial_batch_sharding(mesh)
+                    from pgx.parallel.tp import (spatial_batch_sharding,
+                                                 use_spatial_sharding)
+                    if use_spatial_sharding(st.resolution,
+                                            loop_cfg.model_parallel):
+                        img_sh = spatial_batch_sharding(mesh)
                 prefetcher = DevicePrefetcher(
                     batch_fn(dataset, host_batch, st.resolution,
                              seed=host_seed + st.step), mesh,
@@ -353,9 +366,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     jnp.asarray(sample_labels)
                     if sample_labels is not None else None,
                     jnp.float32(st.alpha))
-                # collective when XLA leaves the output sharded across
-                # hosts (model-parallel meshes); no-op otherwise
-                images = host_copy(images)
+                # collective gather only when XLA left the output sharded
+                # across hosts (model-parallel meshes); otherwise non-main
+                # processes skip the host copy entirely
+                if is_main or needs_cross_host_gather(images):
+                    images = host_copy(images)
                 if is_main:
                     save_image_grid(
                         os.path.join(trial_dir, "sample",
@@ -405,11 +420,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         # resumable checkpoint at the exact iteration it stopped.  Skipped
         # when the state is sharded across hosts: the collective gather
         # cannot run from one process's signal handler.
-        cross_host = any(
-            isinstance(a, jax.Array) and not a.is_fully_addressable
-            and not a.is_fully_replicated
-            for a in jax.tree.leaves(state))
-        if is_main and not cross_host:
+        if is_main and not needs_cross_host_gather(state):
             it = int(jax.device_get(state["iteration"]))
             try:
                 save_full(it, state)

@@ -199,3 +199,40 @@ def test_train_loop_model_parallel_e2e(tmp_path):
     assert trial2 == trial_dir
     g2 = ckpt.latest_checkpoint(trial_dir, "g")
     assert ckpt.checkpoint_iteration(g2) == 12
+
+
+@pytest.mark.slow
+def test_train_loop_spatial_e2e(tmp_path):
+    """End-to-end: spatial mode through the loop — the prefetcher's
+    H-sharded image placement across a stage switch, and the low-res
+    fallback (H smaller than the model axis shards batch-only instead of
+    crashing device_put)."""
+    from pgx import checkpoint as ckpt
+    from pgx.data import synthetic_dataset
+    from pgx.train import LegacySchedule
+    from pgx.train.loop import LoopConfig, train_loop
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    schedule = LegacySchedule(12, 2, 1)   # 8px -> 16px stage switch
+    ds = synthetic_dataset(n=32, size=16, channels=1, seed=0)
+    loop_cfg = LoopConfig(trial_name="sp_e2e", main_path=str(tmp_path),
+                          batch_size=8, sample_every=100, log_every=100,
+                          checkpoint_every=100, total_iterations=12,
+                          model_parallel=2, model_parallel_mode="spatial",
+                          snapshot_sources=False, verbose=False)
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, ds, loop_cfg)
+    gpath = ckpt.latest_checkpoint(trial_dir, "g")
+    assert ckpt.checkpoint_iteration(gpath) == 12
+
+
+def test_use_spatial_sharding_gate():
+    """The loop's per-stage spatial gate: stages shorter than the model
+    axis fall back to batch-only sharding (4px with 8 model shards would
+    otherwise crash device_put)."""
+    from pgx.parallel.tp import use_spatial_sharding
+    assert use_spatial_sharding(8, 2)
+    assert use_spatial_sharding(1024, 8)
+    assert not use_spatial_sharding(4, 8)
+    assert not use_spatial_sharding(4, 16)
