@@ -101,6 +101,47 @@ def test_two_process_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_spatial(tmp_path):
+    """Spatial model parallelism across hosts: a (data=4, model=2) mesh
+    over 2 processes x 4 devices with images H-sharded over the
+    within-host model axis.  Exercises the prefetcher's
+    make_array_from_process_local_data with the 2-D image sharding (batch
+    slices per host, full H per slice) and the per-stage spatial gate
+    across a growth switch."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        argv = [
+            sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+            "--synthetic", "--multihost",
+            "--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--model-parallel", "2", "--model-parallel-mode", "spatial",
+            "--total-iter", "8", "--batch-size", "8", "--channels", "8",
+            "--max-step", "2", "--sample-every", "4",
+            "--checkpoint-every", "8", "--log-every", "4",
+            "--output", str(tmp_path),
+        ]
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+
+    trials = [d for d in os.listdir(tmp_path) if d.startswith("trial_")]
+    assert len(trials) == 1, trials
+    trial = os.path.join(tmp_path, trials[0])
+    ckpts = os.listdir(os.path.join(trial, "checkpoint"))
+    assert any(n.endswith("_g.model") for n in ckpts), ckpts
+    assert os.listdir(os.path.join(trial, "sample"))
+
+
+@pytest.mark.slow
 def test_two_process_model_parallel(tmp_path):
     """Tensor parallelism across hosts: a (data=4, model=2) global mesh
     over 2 processes x 4 devices.  Params are channel-sharded across
