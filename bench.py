@@ -22,7 +22,7 @@ import numpy as np
 
 def bench_train_step(batch_size: int, dtype: str, steps: int,
                      fading: bool = False, gp_every: int = 1,
-                     ada: bool = False):
+                     ada: bool = False, gp_mode: str = "reverse"):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +30,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     from pgx.train import TrainConfig, init_train_state, make_train_step
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
-    tc = TrainConfig(gp_every=gp_every)
+    tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode)
     aug_kwargs = {}
     if ada:
         from pgx.augment import AdaConfig, bgc_config
@@ -84,10 +84,14 @@ def main():
     p.add_argument("--ada", action="store_true",
                    help="bench with the full ADA pipeline (bgc policy, "
                         "adaptive controller) wired into the step")
+    p.add_argument("--gp-mode", default="reverse",
+                   choices=["reverse", "jvp"],
+                   help="GP gradient structure (TrainConfig.gp_mode)")
     args = p.parse_args()
 
     ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps,
-                                    gp_every=args.gp_every, ada=args.ada)
+                                    gp_every=args.gp_every, ada=args.ada,
+                                    gp_mode=args.gp_mode)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

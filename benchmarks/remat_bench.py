@@ -50,7 +50,7 @@ def make_configs(step, dtype):
     return gcfg, dcfg
 
 
-def bench(policy, remat, step, batch, dtype, steps):
+def bench(policy, remat, step, batch, dtype, steps, gp_mode="reverse"):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +58,7 @@ def bench(policy, remat, step, batch, dtype, steps):
 
     gcfg, dcfg = make_configs(step, dtype)
     tc = dataclasses.replace(TrainConfig(), remat=remat,
-                             remat_policy=policy)
+                             remat_policy=policy, gp_mode=gp_mode)
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
     res = 4 * 2 ** (step - 1)
@@ -88,6 +88,8 @@ def main():
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--policies", default="none,full,convs,d_only",
                    help="'none' = plain step (remat off) baseline")
+    p.add_argument("--gp-mode", default="reverse",
+                   choices=["reverse", "jvp"])
     args = p.parse_args()
 
     res = 4 * 2 ** (args.step - 1)
@@ -95,11 +97,12 @@ def main():
         try:
             ips = bench(policy if policy != "none" else "full",
                         policy != "none", args.step, args.batch_size,
-                        args.dtype, args.steps)
-            print(f"{res}px bs={args.batch_size} remat={policy}: "
-                  f"{ips:.1f} img/s", flush=True)
+                        args.dtype, args.steps, gp_mode=args.gp_mode)
+            print(f"{res}px bs={args.batch_size} remat={policy} "
+                  f"gp={args.gp_mode}: {ips:.1f} img/s", flush=True)
         except Exception as e:  # OOM etc. — record and continue
-            print(f"{res}px bs={args.batch_size} remat={policy}: FAILED "
+            print(f"{res}px bs={args.batch_size} remat={policy} "
+                  f"gp={args.gp_mode}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 

@@ -40,6 +40,12 @@ def add_common_args(p: argparse.ArgumentParser,
                         "conv/matmul outputs and recomputes only the cheap "
                         "elementwise chains; 'd_only' checkpoints only D's "
                         "forwards (the GP double-backward path)")
+    p.add_argument("--gp-mode", default="reverse",
+                   choices=["reverse", "jvp"],
+                   help="GP gradient structure: 'reverse' = nested grad "
+                        "(reference-exact op order); 'jvp' = the exact "
+                        "JVP-form surrogate (identical gradient, leaner "
+                        "graph; see TrainConfig.gp_mode)")
     p.add_argument("--gp-every", type=int, default=1,
                    help="lazy regularization: apply the gradient penalty "
                         "every N iterations with lambda scaled by N "

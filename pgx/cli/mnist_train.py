@@ -42,7 +42,8 @@ def main(argv=None):
         feat_dim=args.channels,
         use_mnist_conv_blocks=not args.full_conv_blocks, dtype=args.dtype)
     tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, remat=args.remat,
+                     gp_every=args.gp_every, gp_mode=args.gp_mode,
+                     remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
     dataset = get_dataset(args, "mnist")

@@ -31,7 +31,8 @@ def main(argv=None):
                                      max_step=args.max_step,
                                      dtype=args.dtype)
     tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, remat=args.remat,
+                     gp_every=args.gp_every, gp_mode=args.gp_mode,
+                     remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
                               args.max_step, args.init_step)

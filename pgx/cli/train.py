@@ -32,7 +32,8 @@ def main(argv=None):
     dcfg = zoo.legacy_discriminator(feat_dim=args.channels,
                                     max_step=args.max_step, dtype=args.dtype)
     tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, remat=args.remat,
+                     gp_every=args.gp_every, gp_mode=args.gp_mode,
+                     remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
 

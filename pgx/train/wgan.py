@@ -58,6 +58,21 @@ class TrainConfig:
     gp_every: int = 1      # lazy regularization: compute the gradient
                            # penalty every N iterations with lambda scaled
                            # by N (StyleGAN2-style; 1 == reference-exact)
+    gp_mode: str = "reverse"
+    # How the GP's parameter gradient is computed (identical math, different
+    # AD structure):
+    #   "reverse" — nested jax.grad: differentiate through the inner
+    #               backward (reverse-over-reverse, the torch
+    #               double-backward's direct analogue; reference-exact
+    #               operation order)
+    #   "jvp"     — exact surrogate: with g = grad_x D(x_hat) and
+    #               u = stop_grad(2*lambda*(|g|-1)/|g| * g / B), the GP's
+    #               theta-gradient equals grad_theta <u, grad_x D(x_hat)>
+    #               = grad_theta jvp(D_sum, x_hat, u) — reverse-over-
+    #               FORWARD, a leaner graph for XLA (no differentiation
+    #               through a transposed conv chain).  Gradient is
+    #               mathematically identical (quadratic-surrogate trick);
+    #               fp rounding may differ in the last bits.
     remat: bool = False    # jax.checkpoint the G/D forwards: recompute
                            # activations in the backward instead of storing
                            # them — trades ~repeated forward FLOPs for HBM,
@@ -200,7 +215,30 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             fake_scores = d_fwd(pd, fake, lab, alpha)
             real_drifted = (jnp.mean(real_scores)
                             - tc.drift * jnp.mean(jnp.square(real_scores)))
-            if apply_gp:
+            if apply_gp and tc.gp_mode == "jvp":
+                # Exact JVP-form GP gradient (see TrainConfig.gp_mode).
+                # grad_x is needed only to build the stop-gradiented
+                # coefficient vector u, so compute it outside the
+                # differentiated path (pd_sg) — the backward-of-backward
+                # is then dead code XLA eliminates.
+                pd_sg = jax.tree.map(jax.lax.stop_gradient, pd)
+                grad_x = jax.grad(
+                    lambda xh: jnp.sum(d_fwd(pd_sg, xh, lab, alpha)))(x_hat)
+                acc = jnp.promote_types(grad_x.dtype, jnp.float32)
+                gx = grad_x.astype(acc)
+                norms = jnp.sqrt(jnp.sum(jnp.square(gx), axis=(1, 2, 3)))
+                lam = tc.lambda_gp * tc.gp_every
+                gp_value = lam * jnp.mean(jnp.square(norms - 1.0))
+                coef = 2.0 * lam * (norms - 1.0) / (norms * bsz)
+                u = jax.lax.stop_gradient(
+                    (coef[:, None, None, None] * gx).astype(x_hat.dtype))
+                _, jv = jax.jvp(
+                    lambda xh: jnp.sum(d_fwd(pd, xh, lab, alpha)),
+                    (x_hat,), (u,))
+                # value = the true penalty; gradient = the surrogate's
+                gp = (jax.lax.stop_gradient(gp_value)
+                      + (jv - jax.lax.stop_gradient(jv)))
+            elif apply_gp:
                 grad_x = jax.grad(
                     lambda xh: jnp.sum(d_fwd(pd, xh, lab, alpha)))(x_hat)
                 acc = jnp.promote_types(grad_x.dtype, jnp.float32)

@@ -426,3 +426,37 @@ def test_remat_matches_plain_step():
             lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4,
                                                     rtol=1e-4),
             outs["plain"], outs[key])
+
+
+def test_jvp_gp_mode_matches_reverse_exactly():
+    """gp_mode='jvp' restructures the GP's parameter gradient as
+    grad(<stop_grad(u), grad_x D>) via a JVP (pgx/train/wgan.py).  The
+    surrogate is mathematically identical (quadratic trick) — at f64 on the
+    proper family it matches the nested-grad form to 1 ULP, fade phase and
+    minibatch-stddev included."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgx.models import zoo
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    gcfg = zoo.correct_generator(z_dim=8, channel=8, dtype="float64")
+    dcfg = zoo.correct_discriminator(feat_dim=8, dtype="float64")
+    real = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3))
+    alpha = jnp.asarray(0.6, jnp.float64)
+
+    outs = {}
+    for mode in ("reverse", "jvp"):
+        tc = dataclasses.replace(TrainConfig(), gp_mode=mode)
+        state = init_train_state(jax.random.PRNGKey(7), gcfg, dcfg, tc)
+        fn = make_train_step(gcfg, dcfg, tc, step=3, fading=True,
+                             donate=False)
+        s, m = fn(state, real, None, alpha)
+        outs[mode] = (jax.device_get(s), jax.device_get(m))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-12, atol=0),
+        outs["reverse"], outs["jvp"])
