@@ -428,6 +428,47 @@ def test_remat_matches_plain_step():
             outs["plain"], outs[key])
 
 
+def test_sharded_jvp_gp_matches_single_device():
+    """gp_mode='jvp' is also semantics-preserving under GSPMD data
+    parallelism: the coefficient vector u is per-sample and the surrogate
+    reduces with jnp.mean over the *global* batch (bsz = global batch
+    size), so an 8-device sharded step must match the single-device one —
+    the same guarantee test_sharded_step_matches_single_device gives the
+    reverse-mode GP."""
+    import dataclasses
+
+    from pgx.parallel import make_mesh, replicate, shard_batch
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = dataclasses.replace(TrainConfig(), gp_mode="jvp")
+    state = init_train_state(jax.random.PRNGKey(5), gcfg, dcfg, tc)
+    real = np.random.RandomState(4).randn(16, 8, 8, 1).astype(np.float32)
+
+    fn = make_train_step(gcfg, dcfg, tc, step=1, fading=False, donate=False)
+
+    s_single, m_single = fn(state, jnp.asarray(real), None, jnp.float32(1.0))
+    s_single, m_single = fn(s_single, jnp.asarray(real), None,
+                            jnp.float32(1.0))
+
+    mesh = make_mesh()
+    s_shard = replicate(mesh, state)
+    real_sh = shard_batch(mesh, real)
+    s_shard, m_shard = fn(s_shard, real_sh, None, jnp.float32(1.0))
+    s_shard, m_shard = fn(s_shard, real_sh, None, jnp.float32(1.0))
+
+    np.testing.assert_allclose(float(m_single["grad_penalty"]),
+                               float(m_shard["grad_penalty"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]), rtol=1e-5)
+    for name in ("g", "d"):
+        for a, b in zip(jax.tree.leaves(s_single[name]),
+                        jax.tree.leaves(s_shard[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"mismatch in {name}")
+
+
 def test_jvp_gp_mode_matches_reverse_exactly():
     """gp_mode='jvp' restructures the GP's parameter gradient as
     grad(<stop_grad(u), grad_x D>) via a JVP (pgx/train/wgan.py).  The
