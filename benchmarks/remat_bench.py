@@ -25,32 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def make_configs(step, dtype):
-    """Conditional proper-arch G/D grown past the zoo's 128px ceiling.
+    """Conditional proper-arch G/D grown past the zoo's 128px ceiling
+    (zoo.conditional_correct_grown: constant 512 through 32px, then the
+    standard halving plan — the round-2 benchmarks/README.md rows)."""
+    from pgx.models import zoo
 
-    The zoo's ConditionalCorrect family stops at 6 stages (128px, matching
-    the reference); the 256/512px stages use the grown-net channel plan the
-    round-2 rows in benchmarks/README.md used (halving past 512: 256, 128,
-    64, 32 — the standard PGGAN plan).
-    """
-    from pgx.models.config import DiscriminatorConfig, GeneratorConfig
-
-    n = step  # proper arch: out_stage = step - 1 -> need `step` stages
-    full = [512, 512, 512, 512]
-    g_ch = tuple((full + [512 // 2 ** k for k in range(1, 8)])[:n])
-    d_in = g_ch
-    d_out = (d_in[0],) + d_in[:-1]
-    gcfg = GeneratorConfig(
-        z_dim=512, channels=g_ch, pixel_norm=True, tanh=False,
-        max_step=step, arch="proper", conditioning="concat", num_classes=10,
-        embed_dim=512, dtype=dtype)
-    dcfg = DiscriminatorConfig(
-        stage_in=d_in, stage_out=d_out, arch="proper",
-        conditioning="label_plane", num_classes=10, max_step=step,
-        dtype=dtype)
-    return gcfg, dcfg
+    return zoo.conditional_correct_grown(step, dtype=dtype)
 
 
-def bench(policy, remat, step, batch, dtype, steps, gp_mode="reverse"):
+def bench(policy, remat, step, batch, dtype, steps, gp_mode="reverse",
+          gp_every=1):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +42,8 @@ def bench(policy, remat, step, batch, dtype, steps, gp_mode="reverse"):
 
     gcfg, dcfg = make_configs(step, dtype)
     tc = dataclasses.replace(TrainConfig(), remat=remat,
-                             remat_policy=policy, gp_mode=gp_mode)
+                             remat_policy=policy, gp_mode=gp_mode,
+                             gp_every=gp_every)
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
     res = 4 * 2 ** (step - 1)
@@ -67,17 +52,28 @@ def bench(policy, remat, step, batch, dtype, steps, gp_mode="reverse"):
     labels = jnp.asarray(rng.randint(0, 10, batch))
     alpha = jnp.float32(1.0)
 
-    fn = make_train_step(gcfg, dcfg, tc, step=step, fading=False)
-    state, m = fn(state, real, labels, alpha)
+    # lazy regularization runs a cycle of 1 GP step + (gp_every-1) plain
+    # steps; time whole cycles so the number is the amortized rate
+    fns = {gp: make_train_step(gcfg, dcfg, tc, step=step, fading=False,
+                               apply_gp=gp)
+           for gp in ({True, False} if gp_every > 1 else {True})}
+
+    def cycle(state):
+        for i in range(gp_every):
+            state, m = fns[gp_every == 1 or i == 0](state, real, labels,
+                                                    alpha)
+        return state, m
+
+    state, m = cycle(state)
     float(m["d_total"])
-    state, m = fn(state, real, labels, alpha)
+    state, m = cycle(state)
     float(m["d_total"])
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, m = fn(state, real, labels, alpha)
+        state, m = cycle(state)
     float(m["d_total"])
-    dt = (time.perf_counter() - t0) / steps
-    return batch * steps / (dt * steps)
+    dt = (time.perf_counter() - t0) / (steps * gp_every)
+    return batch / dt
 
 
 def main():
@@ -90,6 +86,9 @@ def main():
                    help="'none' = plain step (remat off) baseline")
     p.add_argument("--gp-mode", default="reverse",
                    choices=["reverse", "jvp"])
+    p.add_argument("--gp-every", type=int, default=1,
+                   help="lazy regularization interval; >1 times whole "
+                        "GP cycles and reports the amortized img/s")
     args = p.parse_args()
 
     res = 4 * 2 ** (args.step - 1)
@@ -97,12 +96,14 @@ def main():
         try:
             ips = bench(policy if policy != "none" else "full",
                         policy != "none", args.step, args.batch_size,
-                        args.dtype, args.steps, gp_mode=args.gp_mode)
+                        args.dtype, args.steps, gp_mode=args.gp_mode,
+                        gp_every=args.gp_every)
             print(f"{res}px bs={args.batch_size} remat={policy} "
-                  f"gp={args.gp_mode}: {ips:.1f} img/s", flush=True)
+                  f"gp={args.gp_mode}x{args.gp_every}: {ips:.1f} img/s",
+                  flush=True)
         except Exception as e:  # OOM etc. — record and continue
             print(f"{res}px bs={args.batch_size} remat={policy} "
-                  f"gp={args.gp_mode}: FAILED "
+                  f"gp={args.gp_mode}x{args.gp_every}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 

@@ -23,23 +23,35 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--step", type=int, default=6,
+                   help="growth stage (6 = 128px flagship; 7-9 use the "
+                        "grown zoo.conditional_correct_grown plan)")
+    p.add_argument("--gp-mode", default="reverse",
+                   choices=["reverse", "jvp"])
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_configs
+    from pgx.models import zoo
     from pgx.train import TrainConfig, init_train_state, make_train_step
 
-    gcfg, dcfg = _flagship_configs(dtype=args.dtype)
-    tc = TrainConfig()
+    if args.step <= 6:
+        from __graft_entry__ import _flagship_configs
+        gcfg, dcfg = _flagship_configs(dtype=args.dtype)
+    else:
+        gcfg, dcfg = zoo.conditional_correct_grown(args.step,
+                                                   dtype=args.dtype)
+    tc = TrainConfig(gp_mode=args.gp_mode, remat=args.remat)
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
     rng = np.random.RandomState(0)
-    real = jnp.asarray(rng.randn(args.batch_size, 128, 128, 3)
+    res = gcfg.resolution(args.step)
+    real = jnp.asarray(rng.randn(args.batch_size, res, res, 3)
                        .astype(np.float32))
     labels = jnp.asarray(rng.randint(0, gcfg.num_classes, args.batch_size))
     alpha = jnp.float32(1.0)
-    step_fn = make_train_step(gcfg, dcfg, tc, step=6, fading=False)
+    step_fn = make_train_step(gcfg, dcfg, tc, step=args.step, fading=False)
 
     # compile outside the trace
     state, metrics = step_fn(state, real, labels, alpha)

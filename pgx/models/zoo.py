@@ -196,3 +196,37 @@ def mnist_conditional_discriminator_ada(
     return mnist_discriminator(feat_dim, use_mnist_conv_blocks,
                                conditioning="projection",
                                num_classes=num_classes, **kw)
+
+
+# --------------------------------------------------------------------------
+# Grown high-resolution configs (pgx extension past the reference zoo)
+# --------------------------------------------------------------------------
+
+def conditional_correct_grown(max_step: int, z_dim: int = 512,
+                              channel: int = 512, num_classes: int = 10,
+                              pixel_norm: bool = True, tanh: bool = False,
+                              **kw):
+    """The conditional 'proper' family grown past its reference 128px
+    ceiling (ref progan_modules.py:601-775 stops at 6 stages): constant
+    `channel` through 32px, then the standard PGGAN halving plan
+    (256, 128, 64, 32...) out to `max_step` stages — the architecture
+    `pgx.cli.grow_checkpoint` produces when extending a trained 128px
+    net, and what the reference's stale `*512` grower imports aimed at
+    (scripts/smaller_to_bigger_net_checkpoint_load.py:7-8).
+
+    Returns (GeneratorConfig, DiscriminatorConfig); resolution is
+    ``4 * 2**(max_step-1)`` (7 -> 256px, 8 -> 512px, 9 -> 1024px).
+    """
+    c = channel
+    plan = [c, c, c, c] + [c // 2 ** k for k in range(1, 8)]
+    g_ch = tuple(plan[:max_step])
+    d_out = (g_ch[0],) + g_ch[:-1]
+    gcfg = GeneratorConfig(
+        z_dim=z_dim, channels=g_ch, pixel_norm=pixel_norm, tanh=tanh,
+        max_step=max_step, arch="proper", conditioning="concat",
+        num_classes=num_classes, embed_dim=z_dim, **kw)
+    dcfg = DiscriminatorConfig(
+        stage_in=g_ch, stage_out=d_out, arch="proper",
+        conditioning="label_plane", num_classes=num_classes,
+        max_step=max_step, **kw)
+    return gcfg, dcfg

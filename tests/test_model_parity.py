@@ -235,3 +235,44 @@ def test_mnist_conditional_discriminator_ada_parity():
     m = mm.ConditionalDiscriminatorAda(feat_dim=8, num_of_classes=3)
     cfg = zoo.mnist_conditional_discriminator_ada(dtype="float64", feat_dim=8, num_classes=3)
     _disc_case(m, cfg, steps=[0, 1, 3], num_classes=3)
+
+
+def test_conditional_correct_grown_extends_flagship():
+    """zoo.conditional_correct_grown (pgx extension) reproduces the
+    flagship channel plan at max_step=6 and extends it with the standard
+    halving plan past 128px; the grown net runs forward at its top
+    stage."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgx.models.discriminator import discriminator_apply, \
+        init_discriminator
+    from pgx.models.generator import generator_apply, init_generator
+
+    g6, d6 = zoo.conditional_correct_grown(6)
+    assert g6.channels == zoo.conditional_correct_generator(
+        max_step=6).channels
+    ref_d = zoo.conditional_correct_discriminator_wgangp(feat_dim=512,
+                                                         max_step=6)
+    assert d6.stage_in == ref_d.stage_in
+    assert d6.stage_out == ref_d.stage_out
+
+    g8, d8 = zoo.conditional_correct_grown(8)
+    assert g8.channels == (512, 512, 512, 512, 256, 128, 64, 32)
+    assert d8.stage_in == g8.channels
+    assert d8.stage_out == (512,) + g8.channels[:-1]
+    assert g8.resolution(8) == 512
+
+    # tiny instance trains/runs at the grown top stage
+    gcfg, dcfg = zoo.conditional_correct_grown(7, z_dim=8, channel=64,
+                                               num_classes=3)
+    gp = init_generator(jax.random.PRNGKey(0), gcfg)
+    dp = init_discriminator(jax.random.PRNGKey(1), dcfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+    lab = jnp.asarray([0, 2])
+    img = generator_apply(gp, gcfg, z, lab, step=7, alpha=1.0, fading=False)
+    assert img.shape == (2, 256, 256, 3)
+    score = discriminator_apply(dp, dcfg, img, lab, step=7, alpha=1.0,
+                                fading=False)
+    assert score.shape == (2, 1)  # label_plane D returns (B, 1) (ref quirk)
+    assert bool(jnp.isfinite(score).all())
