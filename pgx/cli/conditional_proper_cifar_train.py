@@ -38,6 +38,14 @@ def main(argv=None):
         dcfg = zoo.conditional_correct_discriminator_ada(
             feat_dim=args.channels, num_classes=args.num_classes,
             max_step=args.max_step, dtype=args.dtype)
+    elif args.max_step > 6:
+        # past the reference family's 128px ceiling: the grown halving
+        # plan (zoo.conditional_correct_grown), trainable from scratch —
+        # 7 -> 256px, 8 -> 512px, 9 -> 1024px
+        gcfg, dcfg = zoo.conditional_correct_grown(
+            args.max_step, z_dim=args.z_dim, channel=args.channels,
+            num_classes=args.num_classes, pixel_norm=args.pixel_norm,
+            tanh=args.tanh, equal_embed=args.equal_embed, dtype=args.dtype)
     else:
         gcfg = zoo.conditional_correct_generator(
             z_dim=args.z_dim, num_classes=args.num_classes,

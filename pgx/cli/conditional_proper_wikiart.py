@@ -49,15 +49,23 @@ def main(argv=None):
     args = p.parse_args(argv)
     maybe_init_multihost(args)
 
-    gcfg = zoo.conditional_correct_generator(
-        z_dim=args.z_dim, num_classes=args.num_classes,
-        channel=args.channels, pixel_norm=args.pixel_norm, tanh=args.tanh,
-        max_step=args.max_step, do_equal_embed=args.equal_embed,
-        dtype=args.dtype)
-    dcfg = zoo.conditional_correct_discriminator_wgangp(
-        feat_dim=args.channels, num_classes=args.num_classes,
-        do_equal_embed=args.equal_embed, max_step=args.max_step,
-        dtype=args.dtype)
+    if args.max_step > 6:
+        # past the reference family's 128px ceiling: the grown halving
+        # plan, trainable from scratch (7 -> 256px ... 9 -> 1024px)
+        gcfg, dcfg = zoo.conditional_correct_grown(
+            args.max_step, z_dim=args.z_dim, channel=args.channels,
+            num_classes=args.num_classes, pixel_norm=args.pixel_norm,
+            tanh=args.tanh, equal_embed=args.equal_embed, dtype=args.dtype)
+    else:
+        gcfg = zoo.conditional_correct_generator(
+            z_dim=args.z_dim, num_classes=args.num_classes,
+            channel=args.channels, pixel_norm=args.pixel_norm,
+            tanh=args.tanh, max_step=args.max_step,
+            do_equal_embed=args.equal_embed, dtype=args.dtype)
+        dcfg = zoo.conditional_correct_discriminator_wgangp(
+            feat_dim=args.channels, num_classes=args.num_classes,
+            do_equal_embed=args.equal_embed, max_step=args.max_step,
+            dtype=args.dtype)
     tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
                      gp_every=args.gp_every, gp_mode=args.gp_mode,
                      remat=args.remat,

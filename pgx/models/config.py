@@ -62,6 +62,12 @@ class GeneratorConfig:
         assert self.conditioning in ("none", "concat", "norm_concat")
         if self.conditioning != "none":
             assert self.num_classes > 0
+        need = self.max_step + 1 if self.arch == "legacy" else self.max_step
+        assert len(self.channels) >= need, (
+            f"max_step={self.max_step} ({self.arch}) needs >= {need} "
+            f"stages, channels has {len(self.channels)} — use "
+            f"zoo.conditional_correct_grown (or grow a checkpoint) for "
+            f"resolutions past a family's ceiling")
 
     @property
     def num_stages(self) -> int:
@@ -113,6 +119,10 @@ class DiscriminatorConfig:
         assert self.conditioning in ("none", "label_plane", "projection")
         if self.conditioning != "none":
             assert self.num_classes > 0
+        need = self.max_step + 1 if self.arch == "legacy" else self.max_step
+        assert len(self.stage_in) >= need, (
+            f"max_step={self.max_step} ({self.arch}) needs >= {need} "
+            f"stages, stage_in has {len(self.stage_in)}")
         for k in range(1, len(self.stage_in)):
             assert self.stage_out[k] == self.stage_in[k - 1], (
                 f"stage {k} out={self.stage_out[k]} must feed "

@@ -94,3 +94,27 @@ def test_cli_equal_embed_variant(tmp_path):
     from pgx.cli.conditional_proper_cifar_train import main
     _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
                           "--num-classes", "3", "--equal-embed"])
+
+
+def test_cli_conditional_proper_grown_512(tmp_path):
+    """--max-step > 6 switches the conditional proper CLIs to the grown
+    halving-plan configs (zoo.conditional_correct_grown): 512px-capable
+    training from scratch, no grow-checkpoint step needed.  Micro pass
+    through every stage up to 512px with --gp-mode jvp (the recommended
+    512px recipe)."""
+    import json
+
+    from pgx.cli.conditional_proper_cifar_train import main
+    # later --channels wins over TINY's (argparse last-occurrence)
+    trial = _run(main, tmp_path,
+                 ["--images-per-mini-step", "8", "--max-step", "8",
+                  "--num-classes", "3", "--channels", "16",
+                  "--gp-mode", "jvp"])
+    cfg_file = [f for f in os.listdir(trial) if f.startswith("train_config")]
+    with open(os.path.join(trial, cfg_file[0])) as f:
+        cfg = json.load(f)
+    assert tuple(cfg["generator"]["channels"]) == (16, 16, 16, 16, 8, 4, 2, 1)
+    assert cfg["train"]["gp_mode"] == "jvp"
+    # the final sample grid is 512px
+    samples = sorted(os.listdir(os.path.join(trial, "sample")))
+    assert samples
