@@ -34,6 +34,13 @@ def main():
     p.add_argument("--steps", type=int, default=20,
                    help="timed generate calls per stage")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--output", default="float", choices=["float", "uint8"],
+                   help="generator output dtype; 'uint8' quantizes on "
+                        "device (the serving default — 4x smaller fetches)")
+    p.add_argument("--fetch-every-call", action="store_true",
+                   help="serving pattern: fetch the images of EVERY batch "
+                        "to host (a server must), instead of chained "
+                        "dispatches with one terminal fetch")
     args = p.parse_args()
 
     import jax
@@ -52,21 +59,28 @@ def main():
     rows = []
     for step in range(1, gcfg.max_step + 1):
         res = gcfg.resolution(step)
-        fn = make_eval_generate(gcfg, step=step, fading=False)
+        fn = make_eval_generate(gcfg, step=step, fading=False,
+                                output=args.output)
         z = jnp.asarray(rng.randn(args.batch_size, gcfg.z_dim)
                         .astype(np.float32))
         z1 = z[:1]
 
-        # throughput: chained dispatches, one terminal host fetch; median
-        # of 3 trials after a chained warmup (the chain expression itself
-        # compiles on first use)
-        def chain(k):
-            zz = z
-            for _ in range(k):
-                out = fn(params, zz, labels)
-                # data-dependent chain so dispatches cannot collapse
-                zz = z + 0.0 * jnp.mean(out)
-            float(jnp.mean(out))
+        if args.fetch_every_call:
+            # serving pattern: every batch's images come back to host
+            def chain(k):
+                for _ in range(k):
+                    np.asarray(fn(params, z, labels))
+        else:
+            # throughput ceiling: chained dispatches, one terminal host
+            # fetch; median of 3 trials after a chained warmup (the chain
+            # expression itself compiles on first use)
+            def chain(k):
+                zz = z
+                for _ in range(k):
+                    out = fn(params, zz, labels)
+                    # data-dependent chain so dispatches cannot collapse
+                    zz = z + 0.0 * jnp.mean(out[:1].astype(jnp.float32))
+                float(jnp.mean(out[:1].astype(jnp.float32)))
 
         chain(2)  # compile + completion (generate AND the chain graph)
         dts = []
@@ -94,6 +108,8 @@ def main():
 
     print(json.dumps({"metric": "sampling_throughput_per_stage",
                       "batch_size": args.batch_size, "dtype": args.dtype,
+                      "output": args.output,
+                      "fetch_every_call": args.fetch_every_call,
                       "rows": rows}))
 
 

@@ -305,18 +305,31 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
 
 def make_eval_generate(gcfg: GeneratorConfig, *, step: int,
-                       fading: bool = False):
+                       fading: bool = False, output: str = "float"):
     """Jitted sampling from (usually) the EMA generator — the one sampling
-    wrapper shared by the train loop and the FID sweep."""
+    wrapper shared by the train loop, the FID sweep and the serving path.
+
+    ``output='uint8'`` applies the torchvision-style [-1, 1] -> [0, 255]
+    quantization ON DEVICE (bit-matching ``pgx.utils.png.to_uint8``), so a
+    serving host fetches 4x less data per batch — on the axon relay the
+    transfer is a real fraction of per-request latency (benchmarks/
+    sampling_bench.py --fetch uint8 vs float)."""
     # NOTE (measured, round 3): sampling is forward-only, but scoping the
     # fused Pallas conv+epilogue kernel here LOSES in-situ (19.1 -> 29.5 ms
     # per 64-image 128px G forward) despite winning per-shape microbenches —
     # the kernel boundary blocks XLA's cross-op scheduling, the same
     # failure mode as round 2's standalone epilogue kernel.  It stays
     # opt-in via pgx.core.layers.fused_conv_scope.
+    if output not in ("float", "uint8"):
+        raise ValueError(f"output must be 'float' or 'uint8', got {output!r}")
+
     @jax.jit
     def generate(params, z, labels=None, alpha=1.0):
         lab = labels if gcfg.conditioning != "none" else None
-        return generator_apply(params, gcfg, z, lab, step=step,
-                               alpha=alpha, fading=fading)
+        img = generator_apply(params, gcfg, z, lab, step=step,
+                              alpha=alpha, fading=fading)
+        if output == "uint8":
+            x = (jnp.clip(img.astype(jnp.float32), -1.0, 1.0) + 1.0) * 0.5
+            img = jnp.floor(x * 255.0 + 0.5).astype(jnp.uint8)
+        return img
     return generate

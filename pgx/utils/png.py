@@ -14,8 +14,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write an (H, W, C) uint8 array (C in {1, 3}) as a PNG file."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W, C) uint8 array (C in {1, 3}) as PNG bytes."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -29,14 +29,24 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write an (H, W, C) uint8 array (C in {1, 3}) as a PNG file."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
 
 
 def to_uint8(images: np.ndarray, value_range=(-1.0, 1.0)) -> np.ndarray:
-    """torchvision-style normalize: clamp to range, rescale to [0, 255]."""
+    """torchvision-style normalize: clamp to range, rescale to [0, 255].
+
+    uint8 input passes through unchanged (already quantized — e.g. by the
+    on-device path, ``make_eval_generate(output='uint8')``)."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        return images
     lo, hi = value_range
     x = np.clip(np.asarray(images, np.float32), lo, hi)
     x = (x - lo) / (hi - lo)

@@ -1,0 +1,238 @@
+"""Serving subsystem: dynamic batching, HTTP endpoints, hot reload.
+
+The reference has no serving path (sampling only inside train.py's loop);
+pgx.serve is the deployment front end over make_eval_generate.  These
+tests drive it end-to-end on a tiny trained trial: request coalescing,
+PNG/npz HTTP responses, checkpoint hot-swap, and determinism.
+"""
+
+import http.client
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from pgx.serve import GeneratorService, make_http_server, _bucket
+
+
+@pytest.fixture(scope="module")
+def tiny_trial(tmp_path_factory):
+    """A 12-iteration conditional mnist-family trial (2 checkpoints)."""
+    from pgx.data import synthetic_dataset
+    from pgx.models import zoo
+    from pgx.train import LegacySchedule, TrainConfig
+    from pgx.train.loop import LoopConfig, train_loop
+
+    tmp = tmp_path_factory.mktemp("serve")
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, num_classes=3, channel=8)
+    dcfg = zoo.mnist_conditional_discriminator_wgangp(feat_dim=8,
+                                                      num_classes=3)
+    schedule = LegacySchedule(8, 2, 1)
+    dataset = synthetic_dataset(n=24, size=16, channels=1, num_classes=3,
+                                seed=0)
+    loop_cfg = LoopConfig(trial_name="servetrial", main_path=str(tmp),
+                          batch_size=4, sample_every=100,
+                          checkpoint_every=6, log_every=100, verbose=False,
+                          total_iterations=12)
+    return train_loop(gcfg, dcfg, TrainConfig(), schedule, dataset,
+                      loop_cfg)
+
+
+def test_bucket():
+    assert [_bucket(n, 64) for n in (1, 2, 3, 5, 33, 64, 100)] == \
+        [1, 2, 4, 8, 64, 64, 64]
+
+
+def test_generate_deterministic_and_shaped(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=1.0)
+    try:
+        a = svc.generate_images(5, seed=7)
+        b = svc.generate_images(5, seed=7)
+        res = svc.stats()["resolution"]
+        assert a.shape == (5, res, res, 1)
+        np.testing.assert_array_equal(a, b)
+        # explicit per-sample labels and a fixed class both work
+        c = svc.generate_images(3, labels=[0, 1, 2], seed=1)
+        d = svc.generate_images(3, class_id=2, seed=1)
+        assert c.shape == d.shape == (3, res, res, 1)
+        # same z, different labels -> different images
+        assert not np.array_equal(c, d)
+    finally:
+        svc.close()
+
+
+def test_padding_does_not_change_results(tiny_trial):
+    """A lone batch-3 request runs padded to the 4-bucket; results must
+    equal an exact-bucket run image-for-image."""
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    try:
+        rng = np.random.RandomState(0)
+        z = rng.randn(4, 8).astype(np.float32)
+        labels = np.array([0, 1, 2, 0], np.int32)
+        full = svc.submit(z, labels).result(timeout=60)
+        part = svc.submit(z[:3], labels[:3]).result(timeout=60)
+        np.testing.assert_array_equal(part, full[:3])
+    finally:
+        svc.close()
+
+
+def test_on_device_uint8_matches_host_quantization(tiny_trial):
+    """The serving default (output='uint8', quantized on device) must be
+    bit-identical to fetching floats and quantizing with png.to_uint8."""
+    from pgx.utils.png import to_uint8
+    svc_u8 = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    svc_f = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0,
+                             output="float")
+    try:
+        a = svc_u8.generate_images(4, class_id=1, seed=11)
+        b = svc_f.generate_images(4, class_id=1, seed=11)
+        assert a.dtype == np.uint8 and b.dtype == np.float32
+        np.testing.assert_array_equal(a, to_uint8(b))
+    finally:
+        svc_u8.close()
+        svc_f.close()
+
+
+def test_dynamic_batching_coalesces(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=16, max_wait_ms=200.0)
+    try:
+        svc.warmup(sizes=(8,))
+        base = svc.stats()
+        futs = [svc.submit(np.random.RandomState(i).randn(1, 8),
+                           np.array([i % 3]))
+                for i in range(8)]
+        outs = [f.result(timeout=60) for f in futs]
+        assert all(o.shape[0] == 1 for o in outs)
+        s = svc.stats()
+        # 8 single-image requests coalesced into far fewer device batches
+        assert s["batches"] - base["batches"] < 8
+        assert s["requests"] - base["requests"] == 8
+        assert s["images"] - base["images"] == 8
+    finally:
+        svc.close()
+
+
+def test_conditional_requires_labels(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((2, 8), np.float32))
+        with pytest.raises(ValueError):
+            svc.generate_images(2, labels=[0])   # wrong length
+    finally:
+        svc.close()
+
+
+def test_hot_reload(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    try:
+        assert svc.maybe_reload() is False      # already at latest
+        it0 = svc.iteration
+        before = svc.generate_images(2, class_id=0, seed=3)
+
+        # fabricate a newer checkpoint with perturbed params
+        from pgx import checkpoint as ckpt
+        import jax
+        params = jax.tree_util.tree_map(lambda x: x + 0.05, svc.params)
+        path = os.path.join(tiny_trial, "checkpoint",
+                            ckpt.checkpoint_name(it0 + 6, "g"))
+        ckpt.save_params(path, params)
+
+        assert svc.maybe_reload() is True
+        assert svc.iteration == it0 + 6
+        after = svc.generate_images(2, class_id=0, seed=3)
+        assert not np.array_equal(before, after)
+        assert svc.stats()["reloads"] == 1
+    finally:
+        svc.close()
+
+
+def test_pinned_checkpoint_never_reloads(tiny_trial):
+    svc = GeneratorService(tiny_trial, checkpoint=6, max_batch=4,
+                           max_wait_ms=1.0)
+    try:
+        assert svc.iteration == 6
+        assert svc.maybe_reload() is False
+    finally:
+        svc.close()
+
+
+@pytest.fixture()
+def http_service(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=1.0)
+    server = make_http_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server.server_port, svc
+    server.shutdown()
+    server.server_close()
+    svc.close()
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    body = r.read()
+    conn.close()
+    return r.status, r.getheader("Content-Type"), body
+
+
+def test_http_endpoints(http_service):
+    port, svc = http_service
+
+    status, ctype, body = _get(port, "/healthz")
+    health = json.loads(body)
+    assert status == 200 and health["ok"] and health["resolution"] == 16
+
+    status, ctype, body = _get(port, "/generate?num=4&seed=0&class=1")
+    assert status == 200 and ctype == "image/png"
+    assert body.startswith(b"\x89PNG\r\n\x1a\n")
+
+    # POST with explicit labels, npz format: raw samples round-trip
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/generate",
+                 json.dumps({"num": 3, "labels": [0, 1, 2], "seed": 5,
+                             "format": "npz"}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    import io
+    with np.load(io.BytesIO(r.read())) as npz:
+        assert npz["images"].shape == (3, 16, 16, 1)
+        np.testing.assert_array_equal(npz["labels"], [0, 1, 2])
+    conn.close()
+
+    status, _, body = _get(port, "/stats")
+    s = json.loads(body)
+    assert s["requests"] >= 2 and s["images"] >= 7
+
+    status, _, body = _get(port, "/generate?num=0")
+    assert status == 400 and b"error" in body
+    status, _, _ = _get(port, "/nope")
+    assert status == 404
+
+
+def test_http_concurrent_requests_batch(http_service):
+    port, svc = http_service
+    base = svc.stats()
+    errs = []
+
+    def hit(i):
+        try:
+            status, ctype, body = _get(port, f"/generate?num=1&seed={i}")
+            assert status == 200 and body.startswith(b"\x89PNG")
+        except Exception as e:    # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    s = svc.stats()
+    assert s["requests"] - base["requests"] == 6
+    assert s["batches"] - base["batches"] <= 6
