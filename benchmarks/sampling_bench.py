@@ -41,6 +41,10 @@ def main():
                    help="serving pattern: fetch the images of EVERY batch "
                         "to host (a server must), instead of chained "
                         "dispatches with one terminal fetch")
+    p.add_argument("--service", action="store_true",
+                   help="measure through GeneratorService (dispatch/fetch "
+                        "pipeline + dynamic batching) instead of raw fn "
+                        "calls; implies fetching every batch")
     args = p.parse_args()
 
     import jax
@@ -65,7 +69,21 @@ def main():
                         .astype(np.float32))
         z1 = z[:1]
 
-        if args.fetch_every_call:
+        if args.service:
+            # the real serving stack: batcher dispatch + pipelined fetch.
+            # Stream K batch-sized requests, then drain all futures.
+            from pgx.serve import GeneratorService
+            svc = GeneratorService.from_params(
+                gcfg, params, step=step, max_batch=args.batch_size,
+                max_wait_ms=0.5, output=args.output)
+            znp = np.asarray(z)
+            labnp = np.asarray(labels)
+
+            def chain(k):
+                futs = [svc.submit(znp, labnp) for _ in range(k)]
+                for f in futs:
+                    f.result(timeout=600)
+        elif args.fetch_every_call:
             # serving pattern: every batch's images come back to host
             def chain(k):
                 for _ in range(k):
@@ -89,6 +107,8 @@ def main():
             chain(args.steps)
             dts.append((time.perf_counter() - t0) / args.steps)
         ips = args.batch_size / float(np.median(dts))
+        if args.service:
+            svc.close()
 
         # latency: batch-1 request, host fetch each call
         out1 = np.asarray(fn(params, z1, lab1))
@@ -110,6 +130,7 @@ def main():
                       "batch_size": args.batch_size, "dtype": args.dtype,
                       "output": args.output,
                       "fetch_every_call": args.fetch_every_call,
+                      "service": args.service,
                       "rows": rows}))
 
 

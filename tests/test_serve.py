@@ -236,3 +236,34 @@ def test_http_concurrent_requests_batch(http_service):
     s = svc.stats()
     assert s["requests"] - base["requests"] == 6
     assert s["batches"] - base["batches"] <= 6
+
+
+def test_from_params_and_pipelined_resolution(tiny_trial):
+    """from_params serves in-memory params (no trial dir); streaming many
+    batches through the dispatch/fetch pipeline resolves every future with
+    correct per-request slices."""
+    from pgx import checkpoint as ckpt
+    from pgx.checkpoint import configs_from_dict, load_config
+
+    cfg = load_config(tiny_trial)
+    gcfg, _, _ = configs_from_dict(cfg)
+    params = ckpt.load_params(ckpt.latest_checkpoint(tiny_trial, "g"))
+    svc = GeneratorService.from_params(gcfg, params, step=3,
+                                       max_batch=4, max_wait_ms=0.5,
+                                       fetch_threads=2)
+    try:
+        assert svc.maybe_reload() is False
+        rng = np.random.RandomState(0)
+        zs = [rng.randn(4, 8).astype(np.float32) for _ in range(6)]
+        labs = [np.arange(4) % 3 for _ in range(6)]
+        futs = [svc.submit(z, l) for z, l in zip(zs, labs)]
+        outs = [f.result(timeout=120) for f in futs]
+        res = svc.stats()["resolution"]
+        assert all(o.shape == (4, res, res, 1) for o in outs)
+        # each future got ITS OWN request's images: resubmitting the same z
+        # must reproduce them exactly
+        again = svc.submit(zs[2], labs[2]).result(timeout=120)
+        np.testing.assert_array_equal(again, outs[2])
+        assert svc.stats()["batches"] >= 6
+    finally:
+        svc.close()
