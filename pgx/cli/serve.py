@@ -35,17 +35,24 @@ def main(argv=None):
                         "companions before dispatch")
     p.add_argument("--watch", type=float, default=0.0, metavar="SECONDS",
                    help="poll interval for hot checkpoint reload (0 = off)")
-    p.add_argument("--no-warmup", action="store_true",
-                   help="skip the batch-1/batch-max compile warmup")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                   help="batch-shard each device batch over the first N "
+                        "devices (params replicated, GSPMD partitioning — "
+                        "same design as training's data parallelism)")
+    p.add_argument("--warmup", default="min", choices=["none", "min", "all"],
+                   help="bucket precompile: 'min' = batch-1 + batch-max, "
+                        "'all' = every power-of-two bucket (no client "
+                        "request ever pays a compile), 'none' = lazy")
     args = p.parse_args(argv)
 
     service = GeneratorService(args.trial, checkpoint=args.checkpoint,
                                max_batch=args.max_batch,
                                max_wait_ms=args.max_wait_ms,
-                               watch_interval_s=args.watch)
-    if not args.no_warmup:
+                               watch_interval_s=args.watch,
+                               data_parallel=args.data_parallel)
+    if args.warmup != "none":
         print("warming up (compiling batch buckets)...")
-        service.warmup()
+        service.warmup("all" if args.warmup == "all" else (1, None))
     st = service.stats()
     server = make_http_server(service, args.host, args.port)
     print(f"serving {args.trial} (iteration {st['iteration']}, "

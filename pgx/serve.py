@@ -73,7 +73,7 @@ class GeneratorService:
     def __init__(self, trial_dir: str, checkpoint: Optional[int] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  watch_interval_s: float = 0.0, output: str = "uint8",
-                 fetch_threads: int = 4):
+                 fetch_threads: int = 4, data_parallel: int = 1):
         self.trial_dir = trial_dir
         # serving defaults to on-device uint8 quantization: the host fetch
         # is 4x smaller per batch and PNG/npz encoding needs uint8 anyway
@@ -86,6 +86,7 @@ class GeneratorService:
 
         self._lock = threading.Lock()        # guards params/state/stats
         self._pinned = checkpoint is not None
+        self._setup_mesh(data_parallel)
         self._load(checkpoint)
         self._start(max_batch, max_wait_ms, watch_interval_s, fetch_threads)
 
@@ -93,7 +94,8 @@ class GeneratorService:
     def from_params(cls, gcfg, params, *, step: int, alpha: float = 1.0,
                     fading: bool = False, max_batch: int = 64,
                     max_wait_ms: float = 5.0, output: str = "uint8",
-                    fetch_threads: int = 4) -> "GeneratorService":
+                    fetch_threads: int = 4,
+                    data_parallel: int = 1) -> "GeneratorService":
         """Serve in-memory params directly (no trial dir, no reload)."""
         from pgx.train.schedule import ScheduleState
         svc = cls.__new__(cls)
@@ -104,7 +106,8 @@ class GeneratorService:
         svc.conditional = gcfg.conditioning != "none"
         svc._lock = threading.Lock()
         svc._pinned = True
-        svc.params = params
+        svc._setup_mesh(data_parallel)
+        svc.params = svc._place_params(params)
         svc.iteration = 0
         svc.state = ScheduleState(step=step, alpha=float(alpha),
                                   fading=fading,
@@ -152,6 +155,30 @@ class GeneratorService:
                 name="pgx-serve-watcher", daemon=True)
             self._watcher.start()
 
+    # -- device placement ------------------------------------------------
+
+    def _setup_mesh(self, data_parallel: int) -> None:
+        """Optional data-parallel serving: batch-shard each device batch
+        over the first `data_parallel` devices (params replicated; GSPMD
+        partitions the same jitted forward — no separate multi-chip code
+        path, mirroring the training design)."""
+        self._mesh = None
+        n = int(data_parallel or 1)
+        if n > 1:
+            import jax
+            from pgx.parallel import make_mesh
+            devices = jax.devices()
+            if len(devices) < n:
+                raise ValueError(
+                    f"data_parallel={n} but only {len(devices)} devices")
+            self._mesh = make_mesh(devices[:n])
+
+    def _place_params(self, params):
+        if self._mesh is not None:
+            from pgx.parallel import replicate
+            return replicate(self._mesh, params)
+        return params
+
     # -- checkpoint / growth state -------------------------------------
 
     def _load(self, checkpoint: Optional[int]) -> None:
@@ -166,7 +193,7 @@ class GeneratorService:
             if gpath is None:
                 raise FileNotFoundError(
                     f"no *_g.model checkpoints in {self.trial_dir}")
-        params = ckpt.load_params(gpath)
+        params = self._place_params(ckpt.load_params(gpath))
         iteration = ckpt.checkpoint_iteration(gpath)
         st = self.schedule.state_at(max(iteration - 1, 0))
         with self._lock:
@@ -208,7 +235,15 @@ class GeneratorService:
     # -- batching core ---------------------------------------------------
 
     def warmup(self, sizes=(1, None)) -> None:
-        """Compile the bucket executables up front (None = max_batch)."""
+        """Compile bucket executables up front (None = max_batch;
+        sizes='all' = every power-of-two bucket, so no client request
+        ever pays a compile)."""
+        if sizes == "all":
+            sizes, n = [], 1
+            while n < self.max_batch:
+                sizes.append(n)
+                n *= 2
+            sizes.append(self.max_batch)
         for s in sizes:
             n = self.max_batch if s is None else int(s)
             self.generate_images(n, seed=0)
@@ -240,6 +275,9 @@ class GeneratorService:
         import jax.numpy as jnp
         t0 = time.monotonic()
         padded = _bucket(total, max(self.max_batch, total))
+        if self._mesh is not None:     # shardable: multiple of mesh size
+            dp = self._mesh.devices.size
+            padded = ((max(padded, dp) + dp - 1) // dp) * dp
         z = np.concatenate([r.z for r in batch])
         if padded > total:
             z = np.concatenate(
@@ -252,11 +290,17 @@ class GeneratorService:
             labels = np.concatenate(parts)
         with self._lock:
             gen, params, alpha = self._gen, self.params, self.state.alpha
+        if self._mesh is not None:
+            from pgx.parallel import shard_batch
+            z_dev = shard_batch(self._mesh, z)
+            lab_dev = (shard_batch(self._mesh, labels)
+                       if labels is not None else None)
+        else:
+            z_dev = jnp.asarray(z)
+            lab_dev = jnp.asarray(labels) if labels is not None else None
         self._inflight.acquire()           # bound queued device work
         try:
-            out = gen(params, jnp.asarray(z),
-                      jnp.asarray(labels) if labels is not None else None,
-                      jnp.float32(alpha))
+            out = gen(params, z_dev, lab_dev, jnp.float32(alpha))
         except Exception as exc:           # trace/compile-time failure
             self._inflight.release()
             for r in batch:

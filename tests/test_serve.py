@@ -267,3 +267,39 @@ def test_from_params_and_pipelined_resolution(tiny_trial):
         assert svc.stats()["batches"] >= 6
     finally:
         svc.close()
+
+
+def test_warmup_all_buckets(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=0.5)
+    try:
+        base = svc.stats()["batches"]
+        svc.warmup("all")               # buckets 1, 2, 4, 8
+        assert svc.stats()["batches"] - base == 4
+        out = svc.generate_images(3, class_id=0, seed=0)   # hits the 4-bucket
+        assert out.shape[0] == 3
+    finally:
+        svc.close()
+
+
+def test_data_parallel_serving_matches_single(tiny_trial):
+    """--data-parallel N: the batch is GSPMD-sharded over N devices with
+    replicated params; per-image results must be bit-identical to the
+    single-device service (per-sample math only in G)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    svc1 = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=0.5)
+    svc4 = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=0.5,
+                            data_parallel=4)
+    try:
+        labels = (np.arange(8) % 3).astype(np.int32)
+        a = svc1.generate_images(8, labels=labels, seed=5)
+        b = svc4.generate_images(8, labels=labels, seed=5)
+        np.testing.assert_array_equal(a, b)
+        # ragged request: 5 images pads to a mesh-divisible bucket
+        c = svc1.generate_images(5, class_id=1, seed=2)
+        d = svc4.generate_images(5, class_id=1, seed=2)
+        np.testing.assert_array_equal(c, d)
+    finally:
+        svc1.close()
+        svc4.close()
