@@ -303,3 +303,103 @@ def test_data_parallel_serving_matches_single(tiny_trial):
     finally:
         svc1.close()
         svc4.close()
+
+
+def test_hot_reload_under_concurrent_load(tiny_trial):
+    """Checkpoint swaps while requests stream: every future resolves (old
+    or new params, never an error), and the reload takes effect."""
+    from pgx import checkpoint as ckpt
+    import jax
+
+    svc = GeneratorService(tiny_trial, max_batch=8, max_wait_ms=1.0,
+                           fetch_threads=2)
+    try:
+        it0 = svc.iteration
+        rng = np.random.RandomState(0)
+        futs = []
+        for i in range(12):
+            futs.append(svc.submit(rng.randn(2, 8).astype(np.float32),
+                                   np.array([i % 3, (i + 1) % 3])))
+            if i == 5:   # swap params mid-stream
+                params = jax.tree_util.tree_map(lambda x: x + 0.1,
+                                                svc.params)
+                ckpt.save_params(
+                    os.path.join(tiny_trial, "checkpoint",
+                                 ckpt.checkpoint_name(it0 + 6, "g")),
+                    params)
+                assert svc.maybe_reload() is True
+        outs = [f.result(timeout=120) for f in futs]
+        assert all(o.shape[0] == 2 for o in outs)
+        assert svc.iteration == it0 + 6
+    finally:
+        svc.close()
+        # restore the trial for other tests: drop the fabricated checkpoint
+        os.remove(os.path.join(tiny_trial, "checkpoint",
+                               ckpt.checkpoint_name(it0 + 6, "g")))
+
+
+@pytest.mark.slow
+def test_serve_while_training(tmp_path):
+    """The --watch workflow end-to-end IN ONE PROCESS: a service attached
+    to a trial that is still training hot-swaps newer checkpoints as the
+    loop writes them (the serve-during-training deployment story)."""
+    import glob
+    import time
+
+    from pgx import checkpoint as ckpt
+    from pgx.data import synthetic_dataset
+    from pgx.models import zoo
+    from pgx.train import LegacySchedule, TrainConfig
+    from pgx.train.loop import LoopConfig, train_loop
+
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, num_classes=3, channel=8)
+    dcfg = zoo.mnist_conditional_discriminator_wgangp(feat_dim=8,
+                                                      num_classes=3)
+    schedule = LegacySchedule(120, 2, 1)
+    dataset = synthetic_dataset(n=24, size=16, channels=1, num_classes=3,
+                                seed=0)
+    loop_cfg = LoopConfig(trial_name="servelive", main_path=str(tmp_path),
+                          batch_size=4, sample_every=10_000,
+                          checkpoint_every=30, log_every=10_000,
+                          verbose=False, total_iterations=120)
+    trainer = threading.Thread(
+        target=lambda: train_loop(gcfg, dcfg, TrainConfig(), schedule,
+                                  dataset, loop_cfg),
+        daemon=True)
+    trainer.start()
+
+    # attach as soon as the trial has a config + first checkpoint
+    trial = None
+    deadline = time.time() + 300
+    while time.time() < deadline and trial is None:
+        for d in glob.glob(os.path.join(str(tmp_path), "trial_servelive*")):
+            try:
+                ckpt.load_config(d)
+            except FileNotFoundError:
+                continue
+            if ckpt.latest_checkpoint(d, "g"):
+                trial = d
+                break
+        time.sleep(0.2)
+    assert trial, "training never produced a checkpoint"
+
+    svc = GeneratorService(trial, max_batch=4, max_wait_ms=1.0,
+                           watch_interval_s=0.2)
+    try:
+        first_it = svc.iteration
+        # serve while the trainer is still writing
+        mid = svc.generate_images(3, class_id=1, seed=0)
+        assert mid.shape[0] == 3
+        trainer.join(timeout=600)
+        assert not trainer.is_alive()
+        final_it = ckpt.checkpoint_iteration(
+            ckpt.latest_checkpoint(trial, "g"))
+        deadline = time.time() + 60
+        while time.time() < deadline and svc.iteration < final_it:
+            time.sleep(0.2)
+        assert svc.iteration == final_it > first_it
+        assert svc.stats()["reloads"] >= 1
+        post = svc.generate_images(3, class_id=1, seed=0)
+        assert post.shape[0] == 3
+    finally:
+        svc.close()
