@@ -94,6 +94,11 @@ def add_common_args(p: argparse.ArgumentParser,
                         "written either way")
     # multi-host (DCN) launch: run one process per host with the same
     # coordinator address; --batch-size is the GLOBAL batch
+    p.add_argument("--compile-cache", default="auto", metavar="DIR|off",
+                   help="persistent XLA compilation cache: 'auto' (default) "
+                        "uses ~/.cache/pgx/xla (or $PGX_COMPILE_CACHE), "
+                        "'off' disables, anything else is the cache dir — "
+                        "restarts/resumes/regrows skip recompilation")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (one process per host; "
                         "batch-size is global, sharded over all hosts)")
@@ -106,7 +111,13 @@ def add_common_args(p: argparse.ArgumentParser,
 
 
 def maybe_init_multihost(args) -> None:
-    """Call before any device use.  No-op without --multihost."""
+    """Call before any device use: enables the persistent compilation
+    cache (unless --compile-cache off) and, with --multihost, the
+    distributed runtime."""
+    cache = getattr(args, "compile_cache", "off")
+    if cache != "off":
+        from pgx.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(None if cache == "auto" else cache)
     if getattr(args, "multihost", False):
         from pgx.parallel.distributed import initialize_multihost
         pi, pc = initialize_multihost(args.coordinator_address,

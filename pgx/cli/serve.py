@@ -43,7 +43,16 @@ def main(argv=None):
                    help="bucket precompile: 'min' = batch-1 + batch-max, "
                         "'all' = every power-of-two bucket (no client "
                         "request ever pays a compile), 'none' = lazy")
+    p.add_argument("--compile-cache", default="auto", metavar="DIR|off",
+                   help="persistent XLA compilation cache ('auto' = "
+                        "~/.cache/pgx/xla): a restarted server skips every "
+                        "bucket compile it has seen before")
     args = p.parse_args(argv)
+
+    if args.compile_cache != "off":
+        from pgx.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(
+            None if args.compile_cache == "auto" else args.compile_cache)
 
     service = GeneratorService(args.trial, checkpoint=args.checkpoint,
                                max_batch=args.max_batch,

@@ -267,3 +267,38 @@ def test_open_url_local_http_cache_and_retry(tmp_path):
     p.write_bytes(b"xyz")
     assert open_url(str(p), verbose=False).read() == b"xyz"
     assert open_url(p.as_uri(), verbose=False).read() == b"xyz"
+
+
+def test_compile_cache_persists_across_processes(tmp_path):
+    """enable_compilation_cache writes XLA executables to disk; a second
+    process with the same cache dir adds no new entries (pure hits)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import os, sys\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=1'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from pgx.utils.compile_cache import enable_compilation_cache\n"
+        "d = enable_compilation_cache(sys.argv[1], "
+        "min_compile_time_secs=0.0)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "f = jax.jit(lambda x: jnp.tanh(x) @ x.T)\n"
+        "f(np.ones((32, 32), np.float32)).block_until_ready()\n"
+        "print('ENTRIES', len(os.listdir(d)))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = str(tmp_path / "xla")
+
+    def run():
+        r = subprocess.run([sys.executable, "-c", script, cache],
+                           capture_output=True, text=True, cwd=repo,
+                           timeout=300)
+        assert r.returncode == 0, r.stderr
+        return int([ln for ln in r.stdout.splitlines()
+                    if ln.startswith("ENTRIES")][-1].split()[1])
+
+    n1 = run()
+    assert n1 >= 1                       # first process populated the cache
+    assert run() == n1                   # second process: hits, no new keys
