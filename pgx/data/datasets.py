@@ -15,6 +15,8 @@ import gzip
 import os
 import pickle
 import struct
+import threading
+from collections import OrderedDict
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -186,12 +188,21 @@ class ImageFolderDataset:
 
     def __init__(self, root: str, resize_factor: float = 1.0,
                  random_crop: bool = False, hflip: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, cache_bytes: int = 2 << 30):
         self.root = root
         self.resize_factor = resize_factor
         self.random_crop = random_crop
         self.hflip = hflip
         self.seed = seed
+        # bounded LRU cache of decoded+resized (pre-crop) uint8 arrays keyed
+        # (idx, size): the decode+resize is deterministic per key, so caching
+        # it cannot change the counter-derived crop/flip stream — it only
+        # removes the per-iteration PNG decode, the host-side bottleneck at
+        # low resolutions (benchmarks/input_pipeline_bench.py)
+        self._cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_budget = max(0, cache_bytes)
+        self._cache_lock = threading.Lock()
         classes = sorted(d for d in os.listdir(root)
                          if os.path.isdir(os.path.join(root, d)))
         self.paths, labels = [], []
@@ -234,18 +245,22 @@ class ImageFolderDataset:
         (counter-derived, not a mutable stream), so a resumed run and two
         prefetcher restarts at the same iteration see the SAME augmentation
         stream — matching the array path's per-stage seeding."""
-        from PIL import Image
-        im = Image.open(self.paths[idx]).convert("RGB")
-        if self.resize_factor > 1.0:
-            short = size + int(size * (self.resize_factor - 1.0)) + 1
-        else:
-            short = size
-        w0, h0 = im.size
-        scale = short / min(w0, h0)
-        rw = max(short, int(round(w0 * scale)))
-        rh = max(short, int(round(h0 * scale)))
-        im = im.resize((rw, rh), Image.BILINEAR)
-        arr = np.asarray(im, np.uint8)
+        key = (idx, size)
+        with self._cache_lock:
+            arr = self._cache.get(key)
+            if arr is not None:
+                self._cache.move_to_end(key)
+        if arr is None:
+            arr = self._decode_resized(idx, size)
+            arr.setflags(write=False)  # cached array is shared via views
+            if self._cache_budget:
+                with self._cache_lock:
+                    if key not in self._cache:
+                        self._cache[key] = arr
+                        self._cache_bytes += arr.nbytes
+                        while self._cache_bytes > self._cache_budget:
+                            _, old = self._cache.popitem(last=False)
+                            self._cache_bytes -= old.nbytes
         h, w = arr.shape[:2]
         if self.random_crop or self.hflip:
             base = self.seed if seed is None else seed
@@ -260,6 +275,22 @@ class ImageFolderDataset:
         if self.hflip and rng.rand() < 0.5:
             arr = arr[:, ::-1]
         return arr
+
+    def _decode_resized(self, idx: int, size: int) -> np.ndarray:
+        """Decode + aspect-preserving shorter-edge resize (the deterministic,
+        cacheable prefix of ``load``)."""
+        from PIL import Image
+        im = Image.open(self.paths[idx]).convert("RGB")
+        if self.resize_factor > 1.0:
+            short = size + int(size * (self.resize_factor - 1.0)) + 1
+        else:
+            short = size
+        w0, h0 = im.size
+        scale = short / min(w0, h0)
+        rw = max(short, int(round(w0 * scale)))
+        rh = max(short, int(round(h0 * scale)))
+        im = im.resize((rw, rh), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
 
 
 class WikiArtDataset:
