@@ -21,10 +21,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 # step rates from benchmarks/README.md (one v5e chip, bf16, batch 32,
 # reference-exact GP, stable phase) — the demand side of the comparison
@@ -64,6 +68,8 @@ def main():
                    help="build a synthetic N-image folder in /tmp and bench it")
     p.add_argument("--cache-bytes", type=int, default=None,
                    help="folder decode cache budget (None = default)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="decode threads for the folder path (0 = sync)")
     p.add_argument("--prefetch", action="store_true",
                    help="also time the DevicePrefetcher end-to-end feed rate")
     args = p.parse_args()
@@ -88,7 +94,8 @@ def main():
         ds = ImageFolderDataset(folder_root, resize_factor=1.2,
                                 random_crop=True, hflip=True, **kw)
         kind = "folder"
-        make = lambda res: folder_batches(ds, args.batch_size, res)
+        make = lambda res: folder_batches(ds, args.batch_size, res,
+                                          num_workers=args.workers)
     else:
         ds = load_sklearn_digits(rgb=True)
         kind = "array"

@@ -17,6 +17,10 @@ def add_common_args(p: argparse.ArgumentParser,
     p.add_argument("--limit-images", type=int, default=None,
                    help="train on a class-balanced subset of N images "
                         "(limited-data regimes: the setting ADA exists for)")
+    p.add_argument("--data-workers", type=int, default=0,
+                   help="decode threads for file-backed datasets (0 = "
+                        "synchronous; the augmentation stream is identical "
+                        "either way)")
     p.add_argument("--trial-name", type=str,
                    default=defaults.get("trial_name", "trial"))
     p.add_argument("--output", "--main-path", dest="main_path", type=str,

@@ -5,6 +5,7 @@ metadata-CSV dataset filtering images by size >= current resolution)."""
 from __future__ import annotations
 
 import argparse
+import functools
 
 import numpy as np
 
@@ -17,21 +18,35 @@ from pgx.train.loop import LoopConfig, train_loop
 
 
 def wikiart_batches(dataset: WikiArtDataset, batch_size: int,
-                    resolution: int, seed: int = 0):
+                    resolution: int, seed: int = 0, num_workers: int = 0):
     """Infinite shuffled batches over the size-filtered subset
-    (conditional_proper_wikiart.py:22-47)."""
+    (conditional_proper_wikiart.py:22-47).  ``num_workers > 0`` decodes
+    through a thread pool; the order-preserving map keeps the batch
+    stream identical to the synchronous path."""
+    from concurrent.futures import ThreadPoolExecutor
     subset = dataset.subset_for(resolution)
     if not subset:
         raise ValueError(f"no WikiArt images with size >= {resolution}")
     rng = np.random.RandomState(seed)
     n = len(subset)
-    while True:
-        order = rng.permutation(n)
-        for start in range(0, n - batch_size + 1, batch_size):
-            rows = [subset[int(i)] for i in order[start:start + batch_size]]
-            imgs = np.stack([dataset.load(f, resolution) for f, _ in rows])
-            labels = np.asarray([c for _, c in rows], np.int64)
-            yield normalize_to_unit(imgs), labels
+    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+    load = lambda f: dataset.load(f, resolution)
+    try:
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - batch_size + 1, batch_size):
+                rows = [subset[int(i)]
+                        for i in order[start:start + batch_size]]
+                files = [f for f, _ in rows]
+                if pool is not None:
+                    imgs = np.stack(list(pool.map(load, files)))
+                else:
+                    imgs = np.stack([load(f) for f in files])
+                labels = np.asarray([c for _, c in rows], np.int64)
+                yield normalize_to_unit(imgs), labels
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def main(argv=None):
@@ -83,7 +98,8 @@ def main(argv=None):
         dataset = WikiArtDataset(args.csv, args.image_root or ".")
         if args.limit_images:
             dataset.limit(args.limit_images, seed=args.seed)
-        batch_fn = wikiart_batches
+        batch_fn = functools.partial(wikiart_batches,
+                                     num_workers=args.data_workers)
 
     loop_cfg = LoopConfig(
         trial_name=args.trial_name, main_path=args.main_path,

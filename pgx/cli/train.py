@@ -8,6 +8,7 @@ iteration-split schedule clamped at max_step.
 from __future__ import annotations
 
 import argparse
+import functools
 
 from pgx.cli.common import add_ada_args, add_common_args, ada_configs_from_args, maybe_init_multihost
 from pgx.data import ImageFolderDataset, synthetic_dataset
@@ -47,7 +48,8 @@ def main(argv=None):
                                      seed=args.seed)
         if args.limit_images:
             dataset.limit(args.limit_images, seed=args.seed)
-        batch_fn = folder_batches
+        batch_fn = functools.partial(folder_batches,
+                                     num_workers=args.data_workers)
 
     loop_cfg = LoopConfig(
         trial_name=args.trial_name, main_path=args.main_path,

@@ -50,24 +50,40 @@ def array_batches(dataset: ArrayDataset, batch_size: int, resolution: int,
 
 
 def folder_batches(dataset: ImageFolderDataset, batch_size: int,
-                   resolution: int, seed: int = 0
+                   resolution: int, seed: int = 0, num_workers: int = 0
                    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """``num_workers > 0`` decodes each batch's images through a thread
+    pool (PIL decode/resize release the GIL).  The map is order-preserving
+    and every load is keyed by (seed, epoch, index), so the augmentation
+    stream is bit-identical to the synchronous path regardless of worker
+    count or scheduling."""
+    from concurrent.futures import ThreadPoolExecutor
     rng = np.random.RandomState(seed)
     n = len(dataset)
     epoch = 0
-    while True:
-        order = rng.permutation(n)
-        for start in range(0, n - batch_size + 1, batch_size):
-            idx = order[start:start + batch_size]
-            # crop/flip randomness is counter-derived from
-            # (seed, epoch, index) so restarting this iterator reproduces
-            # the exact augmentation stream (resume reproducibility)
-            imgs = np.stack([dataset.load(int(i), resolution, seed=seed,
-                                          epoch=epoch) for i in idx])
-            labs = (dataset.labels[idx] if dataset.labels is not None
-                    else None)
-            yield normalize_to_unit(imgs), labs
-        epoch += 1
+    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+    try:
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - batch_size + 1, batch_size):
+                idx = order[start:start + batch_size]
+                # crop/flip randomness is counter-derived from
+                # (seed, epoch, index) so restarting this iterator
+                # reproduces the exact augmentation stream (resume
+                # reproducibility)
+                load = (lambda i, e=epoch: dataset.load(
+                    int(i), resolution, seed=seed, epoch=e))
+                if pool is not None:
+                    imgs = np.stack(list(pool.map(load, idx)))
+                else:
+                    imgs = np.stack([load(i) for i in idx])
+                labs = (dataset.labels[idx] if dataset.labels is not None
+                        else None)
+                yield normalize_to_unit(imgs), labs
+            epoch += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class DevicePrefetcher:

@@ -75,6 +75,31 @@ def test_folder_stream_resume_reproducible(tmp_path):
     assert not np.array_equal(s1[0], s3[0])
 
 
+def test_folder_parallel_decode_identical(tmp_path):
+    """num_workers > 0 must yield the bit-identical batch stream: loads
+    are keyed (seed, epoch, index) and the pool map preserves order, so
+    worker count/scheduling cannot reorder or reseed anything."""
+    root = tmp_path / "imgs"
+    os.makedirs(root / "a")
+    os.makedirs(root / "b")
+    for i in range(6):
+        _write_png(root / ("a" if i % 2 else "b") / f"{i}.png", 80, 96,
+                   color=(i * 40, 200 - i * 30, 7))
+    ds = ImageFolderDataset(str(root), resize_factor=1.2, random_crop=True,
+                            hflip=True, seed=0)
+
+    def take(k, workers):
+        it = folder_batches(ds, 2, 32, seed=5, num_workers=workers)
+        out = [next(it) for _ in range(k)]
+        it.close()  # exercises the pool-shutdown finally
+        return out
+    sync = take(7, workers=0)       # crosses 2 epoch boundaries
+    par = take(7, workers=3)
+    for (xi, xl), (yi, yl) in zip(sync, par):
+        np.testing.assert_array_equal(xi, yi)
+        np.testing.assert_array_equal(xl, yl)
+
+
 def test_wikiart_csv_dataset(tmp_path):
     img_root = tmp_path / "images"
     rows = []
