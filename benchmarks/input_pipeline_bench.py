@@ -107,8 +107,11 @@ def main():
         # decode cache — report both so the cache's effect is visible
         n_batches = max(1, len(ds) // args.batch_size)
         if kind == "folder":
+            # clamp to >= 1 timed step: tiny folders (n_batches <= 3)
+            # would otherwise time zero iterations and report 0.0
             cold = bench_iterator(it, args.batch_size,
-                                  min(args.steps, n_batches - 3), warmup=3)
+                                  max(1, min(args.steps, n_batches - 3)),
+                                  warmup=min(3, max(0, n_batches - 1)))
             # drain to the next epoch boundary so the cache is fully primed
             for _ in range(2 * n_batches):
                 next(it)

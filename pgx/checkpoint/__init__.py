@@ -128,6 +128,47 @@ def latest_checkpoint(trial_dir: str, kind: str = "g") -> Optional[str]:
     return paths[-1] if paths else None
 
 
+def resolve_checkpoint(trial_dir: str, checkpoint: Optional[int] = None,
+                       kind: str = "g") -> str:
+    """Pin-or-latest checkpoint path for a trial (the convention every
+    consumer — sampling CLI, serving, export, FID sweep — shares): an
+    explicit ``checkpoint`` iteration must exist, otherwise the newest
+    ``*_{kind}.model`` wins.  Raises FileNotFoundError either way."""
+    if checkpoint is not None:
+        path = os.path.join(trial_dir, "checkpoint",
+                            checkpoint_name(int(checkpoint), kind))
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no checkpoint {checkpoint} in {trial_dir}")
+        return path
+    path = latest_checkpoint(trial_dir, kind)
+    if path is None:
+        raise FileNotFoundError(
+            f"no *_{kind}.model checkpoints in {trial_dir}")
+    return path
+
+
+def load_generator_state(trial_dir: str, schedule,
+                         checkpoint: Optional[int] = None):
+    """Load a trial's EMA generator the way the reference's samplers do
+    (fid/load_mnist_model_and_fid_it.py:27-35,94-100): resolve the
+    pin-or-latest ``*_g.model``, load params, and re-derive the growth
+    state from the iteration index.  Checkpoints written at iteration N
+    were saved *after* step N ran, so the growth state is
+    ``schedule.state_at(N - 1)`` — the single place that off-by-one
+    convention lives.
+
+    Returns ``(gpath, params, iteration, state)``; ``state`` is None when
+    ``schedule`` is None.
+    """
+    gpath = resolve_checkpoint(trial_dir, checkpoint, "g")
+    params = load_params(gpath)
+    iteration = checkpoint_iteration(gpath)
+    state = (schedule.state_at(max(iteration - 1, 0))
+             if schedule is not None else None)
+    return gpath, params, iteration, state
+
+
 # ---------------------------------------------------------------------------
 # Config JSON round-trip
 # ---------------------------------------------------------------------------

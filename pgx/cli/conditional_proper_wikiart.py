@@ -11,7 +11,8 @@ import numpy as np
 
 from pgx.cli.common import add_ada_args, add_common_args, ada_configs_from_args, maybe_init_multihost
 from pgx.data import WikiArtDataset, synthetic_dataset
-from pgx.data.pipeline import array_batches, normalize_to_unit
+from pgx.data.pipeline import (array_batches, normalize_to_unit,
+                               ordered_map_pool)
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -21,32 +22,24 @@ def wikiart_batches(dataset: WikiArtDataset, batch_size: int,
                     resolution: int, seed: int = 0, num_workers: int = 0):
     """Infinite shuffled batches over the size-filtered subset
     (conditional_proper_wikiart.py:22-47).  ``num_workers > 0`` decodes
-    through a thread pool; the order-preserving map keeps the batch
-    stream identical to the synchronous path."""
-    from concurrent.futures import ThreadPoolExecutor
+    through `pgx.data.pipeline.ordered_map_pool` — same order-preserving
+    stream-identity guarantee as the folder pipeline."""
     subset = dataset.subset_for(resolution)
     if not subset:
         raise ValueError(f"no WikiArt images with size >= {resolution}")
     rng = np.random.RandomState(seed)
     n = len(subset)
-    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
     load = lambda f: dataset.load(f, resolution)
-    try:
+    with ordered_map_pool(num_workers) as pmap:
         while True:
             order = rng.permutation(n)
             for start in range(0, n - batch_size + 1, batch_size):
                 rows = [subset[int(i)]
                         for i in order[start:start + batch_size]]
                 files = [f for f, _ in rows]
-                if pool is not None:
-                    imgs = np.stack(list(pool.map(load, files)))
-                else:
-                    imgs = np.stack([load(f) for f in files])
+                imgs = np.stack(list(pmap(load, files)))
                 labels = np.asarray([c for _, c in rows], np.int64)
                 yield normalize_to_unit(imgs), labels
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def main(argv=None):

@@ -48,19 +48,11 @@ def main(argv=None):
     gcfg, _, _ = ckpt.configs_from_dict(cfg)
     schedule = schedule_from_dict(cfg["schedule"])
 
-    if args.checkpoint is not None:
-        gpath = os.path.join(args.trial, "checkpoint",
-                             ckpt.checkpoint_name(args.checkpoint, "g"))
-        if not os.path.exists(gpath):
-            raise SystemExit(f"no checkpoint {args.checkpoint} in "
-                             f"{args.trial}")
-    else:
-        gpath = ckpt.latest_checkpoint(args.trial, "g")
-        if gpath is None:
-            raise SystemExit(f"no *_g.model checkpoints in {args.trial}")
-    params = ckpt.load_params(gpath)
-    iteration = ckpt.checkpoint_iteration(gpath)
-    st = schedule.state_at(max(iteration - 1, 0))
+    try:
+        gpath, params, iteration, st = ckpt.load_generator_state(
+            args.trial, schedule, args.checkpoint)
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))
 
     conditional = gcfg.conditioning != "none"
     rng = np.random.RandomState(args.seed)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from contextlib import contextmanager
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -49,20 +50,35 @@ def array_batches(dataset: ArrayDataset, batch_size: int, resolution: int,
                    labels[idx] if labels is not None else None)
 
 
+@contextmanager
+def ordered_map_pool(num_workers: int):
+    """Yield an order-preserving map over an optional decode thread pool
+    (``num_workers == 0`` -> builtin ``map``, fully synchronous); the pool
+    is shut down (queued work cancelled) on exit.  Order preservation is
+    what keeps a worker-pool batch stream bit-identical to the synchronous
+    path regardless of worker count or scheduling — shared by the folder
+    and WikiArt pipelines."""
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(num_workers)
+        try:
+            yield pool.map
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+    else:
+        yield map
+
+
 def folder_batches(dataset: ImageFolderDataset, batch_size: int,
                    resolution: int, seed: int = 0, num_workers: int = 0
                    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """``num_workers > 0`` decodes each batch's images through a thread
-    pool (PIL decode/resize release the GIL).  The map is order-preserving
-    and every load is keyed by (seed, epoch, index), so the augmentation
-    stream is bit-identical to the synchronous path regardless of worker
-    count or scheduling."""
-    from concurrent.futures import ThreadPoolExecutor
+    pool (PIL decode/resize release the GIL) with a stream identical to
+    the synchronous path: every load is keyed by (seed, epoch, index)."""
     rng = np.random.RandomState(seed)
     n = len(dataset)
     epoch = 0
-    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
-    try:
+    with ordered_map_pool(num_workers) as pmap:
         while True:
             order = rng.permutation(n)
             for start in range(0, n - batch_size + 1, batch_size):
@@ -73,17 +89,11 @@ def folder_batches(dataset: ImageFolderDataset, batch_size: int,
                 # reproducibility)
                 load = (lambda i, e=epoch: dataset.load(
                     int(i), resolution, seed=seed, epoch=e))
-                if pool is not None:
-                    imgs = np.stack(list(pool.map(load, idx)))
-                else:
-                    imgs = np.stack([load(i) for i in idx])
+                imgs = np.stack(list(pmap(load, idx)))
                 labs = (dataset.labels[idx] if dataset.labels is not None
                         else None)
                 yield normalize_to_unit(imgs), labs
             epoch += 1
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class DevicePrefetcher:

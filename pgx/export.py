@@ -106,20 +106,8 @@ def export_trial(trial_dir: str, out_dir: str, *,
     gcfg, _, _ = ckpt.configs_from_dict(cfg)
     schedule = schedule_from_dict(cfg["schedule"])
 
-    if checkpoint is not None:
-        gpath = os.path.join(trial_dir, "checkpoint",
-                             ckpt.checkpoint_name(checkpoint, "g"))
-        if not os.path.exists(gpath):
-            raise FileNotFoundError(f"no checkpoint {checkpoint} in "
-                                    f"{trial_dir}")
-    else:
-        gpath = ckpt.latest_checkpoint(trial_dir, "g")
-        if gpath is None:
-            raise FileNotFoundError(f"no *_g.model checkpoints in "
-                                    f"{trial_dir}")
-    params = ckpt.load_params(gpath)
-    iteration = ckpt.checkpoint_iteration(gpath)
-    st = schedule.state_at(max(iteration - 1, 0))
+    gpath, params, iteration, st = ckpt.load_generator_state(
+        trial_dir, schedule, checkpoint)
 
     blobs = export_generator(gcfg, params, step=st.step, fading=st.fading,
                              alpha=float(st.alpha), output=output,

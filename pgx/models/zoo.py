@@ -220,6 +220,13 @@ def conditional_correct_grown(max_step: int, z_dim: int = 512,
     c = channel
     plan = [c, c, c, c] + [c // 2 ** k for k in range(1, 8)]
     g_ch = tuple(plan[:max_step])
+    if g_ch and g_ch[-1] < 1:
+        # the halving plan divides past 1 channel — fail at config time
+        # with the actual constraint, not deep inside model init
+        raise ValueError(
+            f"channel={channel} is too small for max_step={max_step}: the "
+            f"halving plan reaches {g_ch[-1]} channels; need channel >= "
+            f"{2 ** (max_step - 4)}")
     d_out = (g_ch[0],) + g_ch[:-1]
     gcfg = GeneratorConfig(
         z_dim=z_dim, channels=g_ch, pixel_norm=pixel_norm, tanh=tanh,

@@ -29,7 +29,6 @@ img/s at batch 64 — ~25x the training-step image rate).
 from __future__ import annotations
 
 import json
-import os
 import threading
 import time
 import queue
@@ -47,10 +46,17 @@ from pgx.utils.png import encode_png, make_grid
 
 
 def _bucket(n: int, max_batch: int) -> int:
-    """Smallest power-of-two >= n, capped at max_batch (static jit shapes)."""
+    """Smallest power-of-two >= n, capped at max_batch (static jit shapes).
+    Oversized requests (a direct ``submit`` larger than max_batch) still
+    land on a power-of-two bucket so the set of compiled executables stays
+    bounded — never an exact ragged size."""
     b = 1
     while b < n and b < max_batch:
         b *= 2
+    if n > max_batch:
+        while b < n:
+            b *= 2
+        return b
     return min(b, max_batch)
 
 
@@ -123,6 +129,7 @@ class GeneratorService:
                fetch_threads) -> None:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._closed = False
 
         self._stats = {"requests": 0, "images": 0, "batches": 0,
                        "batched_images": 0, "reloads": 0}
@@ -182,20 +189,9 @@ class GeneratorService:
     # -- checkpoint / growth state -------------------------------------
 
     def _load(self, checkpoint: Optional[int]) -> None:
-        if checkpoint is not None:
-            gpath = os.path.join(self.trial_dir, "checkpoint",
-                                 ckpt.checkpoint_name(checkpoint, "g"))
-            if not os.path.exists(gpath):
-                raise FileNotFoundError(
-                    f"no checkpoint {checkpoint} in {self.trial_dir}")
-        else:
-            gpath = ckpt.latest_checkpoint(self.trial_dir, "g")
-            if gpath is None:
-                raise FileNotFoundError(
-                    f"no *_g.model checkpoints in {self.trial_dir}")
-        params = self._place_params(ckpt.load_params(gpath))
-        iteration = ckpt.checkpoint_iteration(gpath)
-        st = self.schedule.state_at(max(iteration - 1, 0))
+        _, params, iteration, st = ckpt.load_generator_state(
+            self.trial_dir, self.schedule, checkpoint)
+        params = self._place_params(params)
         with self._lock:
             self.params = params
             self.iteration = iteration
@@ -249,9 +245,12 @@ class GeneratorService:
             self.generate_images(n, seed=0)
 
     def _batch_loop(self) -> None:
+        held = None                # request that didn't fit the last batch
         while True:
-            req = self._queue.get()
+            req = held if held is not None else self._queue.get()
+            held = None
             if req is None:
+                self._drain_closed()
                 return
             batch = [req]
             total = req.z.shape[0]
@@ -266,15 +265,30 @@ class GeneratorService:
                     break
                 if nxt is None:
                     self._run_batch(batch, total)
+                    self._drain_closed()
                     return
+                if total + nxt.z.shape[0] > self.max_batch:
+                    held = nxt     # would overflow the bucket ceiling:
+                    break          # give it its own batch next round
                 batch.append(nxt)
                 total += nxt.z.shape[0]
             self._run_batch(batch, total)
 
+    def _drain_closed(self) -> None:
+        """Fail any request that raced close(): their futures must resolve
+        promptly, not hang until the caller's timeout."""
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.future.set_exception(RuntimeError("service closed"))
+
     def _run_batch(self, batch, total: int) -> None:
         import jax.numpy as jnp
         t0 = time.monotonic()
-        padded = _bucket(total, max(self.max_batch, total))
+        padded = _bucket(total, self.max_batch)
         if self._mesh is not None:     # shardable: multiple of mesh size
             dp = self._mesh.devices.size
             padded = ((max(padded, dp) + dp - 1) // dp) * dp
@@ -339,6 +353,8 @@ class GeneratorService:
         """Enqueue one request; the future resolves to (n, H, W, C) images —
         uint8 in [0, 255] by default, float32 in [-1, 1] with
         ``output='float'``."""
+        if self._closed:
+            raise RuntimeError("service closed")
         z = np.asarray(z, np.float32)
         if self.conditional:
             if labels is None:
@@ -354,10 +370,17 @@ class GeneratorService:
 
     def generate_images(self, num: int, labels=None, class_id=None,
                         seed: Optional[int] = None,
-                        timeout: float = 120.0) -> np.ndarray:
+                        timeout: float = 120.0,
+                        return_labels: bool = False) -> np.ndarray:
         """Synchronous convenience: sample `num` images (chunked to
         max_batch), returning (num, H, W, C) in the service's output
-        dtype (uint8 by default)."""
+        dtype (uint8 by default).  With ``return_labels=True`` returns
+        ``(images, labels)`` where ``labels`` are the class ids actually
+        used (the service draws them when the caller didn't — the only
+        way a client can know the classes of unconditional-looking
+        conditional samples)."""
+        if num < 1:
+            raise ValueError(f"num must be >= 1, got {num}")
         rng = (np.random.RandomState(seed) if seed is not None
                else np.random.RandomState())
         z = rng.randn(num, self.gcfg.z_dim).astype(np.float32)
@@ -376,7 +399,10 @@ class GeneratorService:
             hi = min(lo + self.max_batch, num)
             futs.append(self.submit(
                 z[lo:hi], labels[lo:hi] if labels is not None else None))
-        return np.concatenate([f.result(timeout=timeout) for f in futs])
+        images = np.concatenate([f.result(timeout=timeout) for f in futs])
+        if return_labels:
+            return images, labels
+        return images
 
     def stats(self) -> dict:
         with self._lock:
@@ -395,6 +421,7 @@ class GeneratorService:
         return s
 
     def close(self) -> None:
+        self._closed = True
         self._stop.set()
         self._queue.put(None)
         self._batcher.join(timeout=10)
@@ -472,10 +499,14 @@ def make_http_server(service: GeneratorService, host: str = "127.0.0.1",
                 labels = q.get("labels")
                 if labels is not None and not isinstance(labels, list):
                     labels = [int(x) for x in str(labels).split(",")]
-                images = service.generate_images(
+                # return_labels: the service may draw/derive the labels
+                # itself (class= or random), so the npz must carry the
+                # ones actually used, not the raw query value
+                images, labels = service.generate_images(
                     num, labels=labels,
                     class_id=q.get("class"),
-                    seed=int(q["seed"]) if "seed" in q else None)
+                    seed=int(q["seed"]) if "seed" in q else None,
+                    return_labels=True)
             except Exception as exc:
                 return self._json({"error": str(exc)}, 400)
             fmt = q.get("format", "png")

@@ -260,6 +260,12 @@ def test_conditional_correct_grown_extends_flagship():
     g8, d8 = zoo.conditional_correct_grown(8)
     assert g8.channels == (512, 512, 512, 512, 256, 128, 64, 32)
     assert d8.stage_in == g8.channels
+
+    # a channel count too small for the halving plan fails loudly at
+    # config time (never a 0-channel conv deep inside model init)
+    with pytest.raises(ValueError, match="too small"):
+        zoo.conditional_correct_grown(9, channel=16)
+    zoo.conditional_correct_grown(9, channel=32)   # boundary: plan ends at 1
     assert d8.stage_out == (512,) + g8.channels[:-1]
     assert g8.resolution(8) == 512
 

@@ -41,8 +41,12 @@ def tiny_trial(tmp_path_factory):
 
 
 def test_bucket():
-    assert [_bucket(n, 64) for n in (1, 2, 3, 5, 33, 64, 100)] == \
-        [1, 2, 4, 8, 64, 64, 64]
+    assert [_bucket(n, 64) for n in (1, 2, 3, 5, 33, 64)] == \
+        [1, 2, 4, 8, 64, 64]
+    # oversized direct submits still land on power-of-two buckets, never
+    # an exact ragged size (bounded executable set)
+    assert [_bucket(n, 64) for n in (65, 100, 128, 129)] == \
+        [128, 128, 128, 256]
 
 
 def test_generate_deterministic_and_shaped(tiny_trial):
@@ -121,8 +125,36 @@ def test_conditional_requires_labels(tiny_trial):
             svc.submit(np.zeros((2, 8), np.float32))
         with pytest.raises(ValueError):
             svc.generate_images(2, labels=[0])   # wrong length
+        with pytest.raises(ValueError):
+            svc.generate_images(0)               # clean error, not concat
     finally:
         svc.close()
+
+
+def test_batcher_never_exceeds_max_batch(tiny_trial):
+    """Coalescing stops BEFORE overflowing max_batch: two size-3 requests
+    with max_batch=4 must run as two device batches (a batch of 6 would
+    compile a fresh ragged executable and can exceed the memory ceiling
+    max_batch was chosen for)."""
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=150.0)
+    try:
+        svc.warmup(sizes=(4,))
+        base = svc.stats()["batches"]
+        futs = [svc.submit(np.random.RandomState(i).randn(3, 8),
+                           np.array([0, 1, 2])) for i in range(2)]
+        outs = [f.result(timeout=60) for f in futs]
+        assert all(o.shape[0] == 3 for o in outs)
+        assert svc.stats()["batches"] - base == 2
+    finally:
+        svc.close()
+
+
+def test_submit_after_close_fails_fast(tiny_trial):
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    svc.generate_images(1, class_id=0, seed=0)
+    svc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.submit(np.zeros((1, 8), np.float32), np.array([0]))
 
 
 def test_hot_reload(tiny_trial):
@@ -140,11 +172,14 @@ def test_hot_reload(tiny_trial):
                             ckpt.checkpoint_name(it0 + 6, "g"))
         ckpt.save_params(path, params)
 
-        assert svc.maybe_reload() is True
-        assert svc.iteration == it0 + 6
-        after = svc.generate_images(2, class_id=0, seed=3)
-        assert not np.array_equal(before, after)
-        assert svc.stats()["reloads"] == 1
+        try:
+            assert svc.maybe_reload() is True
+            assert svc.iteration == it0 + 6
+            after = svc.generate_images(2, class_id=0, seed=3)
+            assert not np.array_equal(before, after)
+            assert svc.stats()["reloads"] == 1
+        finally:
+            os.remove(path)       # keep the module-scoped trial pristine
     finally:
         svc.close()
 
@@ -204,6 +239,19 @@ def test_http_endpoints(http_service):
         assert npz["images"].shape == (3, 16, 16, 1)
         np.testing.assert_array_equal(npz["labels"], [0, 1, 2])
     conn.close()
+
+    # npz must carry the labels the SERVICE chose (class= and random),
+    # not just client-supplied ones — the classes of the returned
+    # conditional samples are otherwise unrecoverable
+    status, ctype, body = _get(port, "/generate?num=4&class=2&format=npz")
+    assert status == 200
+    with np.load(io.BytesIO(body)) as npz:
+        np.testing.assert_array_equal(npz["labels"], [2, 2, 2, 2])
+    status, ctype, body = _get(port, "/generate?num=4&seed=9&format=npz")
+    assert status == 200
+    with np.load(io.BytesIO(body)) as npz:
+        assert npz["labels"].shape == (4,)
+        assert npz["labels"].min() >= 0 and npz["labels"].max() < 3
 
     status, _, body = _get(port, "/stats")
     s = json.loads(body)
