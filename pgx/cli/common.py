@@ -78,6 +78,11 @@ def add_common_args(p: argparse.ArgumentParser,
                    default=defaults.get("log_every", 500))
     p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
                    default=True)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="roll N iterations into one device dispatch "
+                        "(lax.scan over the fused step) — amortizes host "
+                        "overhead at the small early stages; math and RNG "
+                        "stream are identical to N single steps")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="model-axis shards on a 2-D (data, model) mesh: "
                         "params channel-sharded (or images H-sharded with "

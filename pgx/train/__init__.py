@@ -12,5 +12,7 @@ from pgx.train.wgan import (  # noqa: F401
     init_train_state,
     make_eval_generate,
     make_optimizer,
+    make_train_multi_step,
     make_train_step,
+    make_train_step_body,
 )

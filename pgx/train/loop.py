@@ -31,7 +31,8 @@ from pgx.data.pipeline import DevicePrefetcher, array_batches
 from pgx.models.config import DiscriminatorConfig, GeneratorConfig
 from pgx.parallel import make_mesh_for_batch, replicate
 from pgx.train.wgan import (TrainConfig, init_train_state,
-                            make_eval_generate, make_train_step)
+                            make_eval_generate, make_train_multi_step,
+                            make_train_step)
 from pgx.utils.png import save_image_grid
 
 
@@ -52,6 +53,11 @@ class LoopConfig:
     checkpoint_backend: str = "npz"   # "npz" (msgpack full state) | "orbax"
                                       # (async step-indexed full state)
     use_mesh: bool = True
+    steps_per_call: int = 1         # roll N iterations into one lax.scan
+                                    # dispatch (make_train_multi_step) —
+                                    # amortizes host overhead at the small
+                                    # early stages; 1 == one jit call per
+                                    # iteration (reference cadence)
     model_parallel: int = 1         # model-axis shards (pgx/parallel/tp.py)
     model_parallel_mode: str = "channels"   # "channels" (TP) | "spatial"
     verbose: bool = True
@@ -78,6 +84,29 @@ def _sample_grid_inputs(gcfg: GeneratorConfig, loop_cfg: LoopConfig,
     n = loop_cfg.sample_rows * loop_cfg.sample_cols
     z = rng.randn(n, gcfg.z_dim).astype(np.float32)
     return z, None, loop_cfg.sample_cols
+
+
+def _scan_window(i: int, st, schedule, total: int, tc: TrainConfig,
+                 loop_cfg: LoopConfig, k: int) -> int:
+    """How many iterations starting at ``i`` can run as one scanned
+    dispatch: the full ``k``, or 1 (single-step fallback).  A window must
+    not cross a sample/checkpoint/log boundary (events fire at the window
+    end, exactly like the single-step cadence), must stay inside one
+    (stage, fade-phase, resolution), must start gp_every-aligned, and must
+    not overrun ``total``."""
+    if i % tc.gp_every != 0 or k % tc.gp_every != 0 or i + k > total:
+        return 1
+    for every in (loop_cfg.sample_every, loop_cfg.checkpoint_every,
+                  loop_cfg.log_every):
+        # next event strictly inside (i, i+k) -> can't fuse past it
+        if ((i // every) + 1) * every < i + k:
+            return 1
+    for j in range(1, k):
+        s2 = schedule.state_at(i + j)
+        if ((s2.step, s2.fading, s2.resolution)
+                != (st.step, st.fading, st.resolution)):
+            return 1
+    return k
 
 
 def _load_newest_state(trial_dir: str, state):
@@ -311,8 +340,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     gp_count = 0
     t_log = time.time()
 
+    conditional = gcfg.conditioning != "none"
+    scan_k = max(1, int(loop_cfg.steps_per_call))
+    can_scan = (scan_k > 1 and tc.n_critic == 1
+                and "on_iteration" not in hooks)
+
     try:
-        for i in range(start_iter, total):
+        i = start_iter
+        while i < total:
             st = schedule.state_at(i)
             if st.resolution != current_res:
                 if prefetcher is not None:
@@ -331,29 +366,54 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     image_sharding=img_sh)
                 current_res = st.resolution
 
-            imgs, labels = next(prefetcher)
-            update_g = (i + 1) % tc.n_critic == 0
-            apply_gp = i % tc.gp_every == 0
-            fkey = (st.step, st.fading, update_g, apply_gp)
-            if fkey not in step_cache:
-                step_cache[fkey] = make_train_step(
-                    gcfg, dcfg, tc, step=st.step, fading=st.fading,
-                    update_g=update_g, apply_gp=apply_gp,
-                    augment_cfg=augment_cfg, ada_cfg=ada_cfg,
-                    augment_p=augment_p)
-            state, metrics = step_cache[fkey](
-                state, imgs, labels, jnp.float32(st.alpha))
+            w = 1
+            if can_scan and i != start_iter:   # first iter fires events
+                w = _scan_window(i, st, schedule, total, tc, loop_cfg,
+                                 scan_k)
+            if w > 1:
+                batches = [next(prefetcher) for _ in range(w)]
+                alphas = np.asarray(
+                    [schedule.state_at(i + j).alpha for j in range(w)],
+                    np.float32)
+                mkey = ("multi", st.step, st.fading, w)
+                if mkey not in step_cache:
+                    step_cache[mkey] = make_train_multi_step(
+                        gcfg, dcfg, tc, step=st.step, fading=st.fading,
+                        k=w, augment_cfg=augment_cfg, ada_cfg=ada_cfg,
+                        augment_p=augment_p)
+                state, metrics = step_cache[mkey](
+                    state, tuple(b[0] for b in batches),
+                    tuple(b[1] for b in batches) if conditional else None,
+                    alphas)
+                gp_count += w // tc.gp_every     # metrics are window sums
+            else:
+                imgs, labels = next(prefetcher)
+                update_g = (i + 1) % tc.n_critic == 0
+                apply_gp = i % tc.gp_every == 0
+                fkey = (st.step, st.fading, update_g, apply_gp)
+                if fkey not in step_cache:
+                    step_cache[fkey] = make_train_step(
+                        gcfg, dcfg, tc, step=st.step, fading=st.fading,
+                        update_g=update_g, apply_gp=apply_gp,
+                        augment_cfg=augment_cfg, ada_cfg=ada_cfg,
+                        augment_p=augment_p)
+                state, metrics = step_cache[fkey](
+                    state, imgs, labels, jnp.float32(st.alpha))
+                # with gp_every > 1, average the penalty only over
+                # iterations that actually computed it (the zeros from
+                # skipped iterations would dilute the logged value by
+                # ~1/gp_every vs the reference's per-application number)
+                gp_count += int(apply_gp)
 
-            count += 1
-            # with gp_every > 1, average the penalty only over iterations
-            # that actually computed it (the zeros from skipped iterations
-            # would dilute the logged value by ~1/gp_every vs the
-            # reference's per-application number)
-            gp_count += int(apply_gp)
+            count += w
             sums = (metrics if not sums else
                     jax.tree.map(lambda a, b: a + b, sums, metrics))
 
-            it = i + 1
+            it = i + w
+            if w > 1:
+                # events below report the LAST iteration of the window
+                # (same step/fading by construction; alpha advanced)
+                st = schedule.state_at(it - 1)
             if it % loop_cfg.sample_every == 0 or i == start_iter:
                 gkey = (st.step, st.fading)
                 if gkey not in gen_cache:
@@ -414,6 +474,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
             if "on_iteration" in hooks:
                 hooks["on_iteration"](i, st, state, metrics)
+            i += w
     except (KeyboardInterrupt, SystemExit):
         # failure handling the reference lacks (its ckpt saves are bare
         # try/except, train.py:183-187): an interrupted run leaves a

@@ -123,28 +123,17 @@ def _ema_update(ema: Params, new: Params, decay: float) -> Params:
     return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
 
 
-def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
-                    tc: TrainConfig, *, step: int, fading: bool,
-                    update_g: bool = True, apply_gp: bool = True,
-                    stddev_axis_name: Optional[str] = None,
-                    augment_cfg: Optional[AugmentConfig] = None,
-                    ada_cfg: Optional[AdaConfig] = None,
-                    augment_p: float = 1.0,
-                    donate: bool = True):
-    """Build the jitted train step for one (stage, fade-phase).
-
-    Returns ``fn(state, real, labels, alpha) -> (state, metrics)``.
-    ``real`` is NHWC in [-1, 1] at this stage's resolution; ``labels`` may be
-    None for unconditional configs; ``alpha`` is a traced scalar.
-
-    When ``augment_cfg`` is given, the ADA pipeline augments every image D
-    sees (reals, fakes, and the x_hat interpolants are built from augmented
-    endpoints), differentiable through to G.  With ``ada_cfg`` the
-    adaptive-p controller drives the probability from the real logits — the
-    loop the reference shipped but never wired in (SURVEY.md section 2.4);
-    without it the fixed ``augment_p`` applies (the controller state's p
-    starts at 0, which would make augment_cfg-alone a silent no-op).
-    """
+def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
+                         tc: TrainConfig, *, step: int, fading: bool,
+                         update_g: bool = True, apply_gp: bool = True,
+                         stddev_axis_name: Optional[str] = None,
+                         augment_cfg: Optional[AugmentConfig] = None,
+                         ada_cfg: Optional[AdaConfig] = None,
+                         augment_p: float = 1.0):
+    """The un-jitted train-step function for one (stage, fade-phase):
+    ``fn(state, real, labels, alpha) -> (state, metrics)``.  Jitted
+    directly by ``make_train_step``; composed under ``lax.scan`` by
+    ``make_train_multi_step``."""
     conditional = gcfg.conditioning != "none"
     opt = make_optimizer(tc)
 
@@ -300,8 +289,111 @@ def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         }
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
+                    tc: TrainConfig, *, step: int, fading: bool,
+                    update_g: bool = True, apply_gp: bool = True,
+                    stddev_axis_name: Optional[str] = None,
+                    augment_cfg: Optional[AugmentConfig] = None,
+                    ada_cfg: Optional[AdaConfig] = None,
+                    augment_p: float = 1.0,
+                    donate: bool = True):
+    """Build the jitted train step for one (stage, fade-phase).
+
+    Returns ``fn(state, real, labels, alpha) -> (state, metrics)``.
+    ``real`` is NHWC in [-1, 1] at this stage's resolution; ``labels`` may be
+    None for unconditional configs; ``alpha`` is a traced scalar.
+
+    When ``augment_cfg`` is given, the ADA pipeline augments every image D
+    sees (reals, fakes, and the x_hat interpolants are built from augmented
+    endpoints), differentiable through to G.  With ``ada_cfg`` the
+    adaptive-p controller drives the probability from the real logits — the
+    loop the reference shipped but never wired in (SURVEY.md section 2.4);
+    without it the fixed ``augment_p`` applies (the controller state's p
+    starts at 0, which would make augment_cfg-alone a silent no-op).
+    """
+    train_step = make_train_step_body(
+        gcfg, dcfg, tc, step=step, fading=fading, update_g=update_g,
+        apply_gp=apply_gp, stddev_axis_name=stddev_axis_name,
+        augment_cfg=augment_cfg, ada_cfg=ada_cfg, augment_p=augment_p)
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_train_multi_step(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
+                          tc: TrainConfig, *, step: int, fading: bool,
+                          k: int,
+                          stddev_axis_name: Optional[str] = None,
+                          augment_cfg: Optional[AugmentConfig] = None,
+                          ada_cfg: Optional[AdaConfig] = None,
+                          augment_p: float = 1.0,
+                          donate: bool = True):
+    """``k`` reference iterations in ONE device dispatch.
+
+    At the early growth stages the per-step device time is tiny (a 4px
+    step is well under a millisecond of compute) and throughput is set by
+    host dispatch — the per-call overhead the reference pays as Python
+    loop + DataLoader + ``.to(device)`` every iteration
+    (train.py:113-155).  TPU-natively the fix is structural: roll ``k``
+    consecutive iterations into one jitted ``lax.scan`` so the host
+    dispatches once per ``k`` steps and XLA pipelines the whole window
+    on-device.  The scan body IS the single-step body
+    (``make_train_step_body``), so the math and RNG stream are the
+    single-step path's exactly (parity-tested in
+    tests/test_train_step.py).
+
+    Constraints (the loop falls back to single steps otherwise):
+    ``n_critic == 1`` (the reference's practical setting — every script
+    hardcodes it, mnist_train.py:53) and ``k % gp_every == 0`` with the
+    window starting on a gp_every boundary — lazy-GP windows scan over
+    ``k/gp_every`` groups of one GP step + ``gp_every-1`` plain steps.
+
+    Returns ``fn(state, reals, labels, alphas) -> (state, summed_metrics)``
+    where ``reals`` is a k-tuple of (B, H, W, C) batches (stacked
+    on-device — cheap at the resolutions this path targets), ``labels``
+    a k-tuple or None, ``alphas`` a (k,) float array; ``summed_metrics``
+    is the elementwise SUM over the k iterations (the loop's accumulator
+    granularity; grad_penalty sums over the k/gp_every applications).
+    """
+    if tc.n_critic != 1:
+        raise ValueError("multi-step dispatch requires n_critic == 1")
+    if k < 1 or k % tc.gp_every != 0:
+        raise ValueError(f"k={k} must be a positive multiple of "
+                         f"gp_every={tc.gp_every}")
+    conditional = gcfg.conditioning != "none"
+    mk = lambda gp: make_train_step_body(
+        gcfg, dcfg, tc, step=step, fading=fading, update_g=True,
+        apply_gp=gp, stddev_axis_name=stddev_axis_name,
+        augment_cfg=augment_cfg, ada_cfg=ada_cfg, augment_p=augment_p)
+    body_gp = mk(True)
+    body_nogp = mk(False) if tc.gp_every > 1 else None
+    g = tc.gp_every
+
+    def multi_step(state, reals, labels, alphas):
+        grp = lambda x: x.reshape((k // g, g) + x.shape[1:])
+        xs_r = grp(jnp.stack(reals))
+        xs_a = grp(jnp.asarray(alphas, jnp.float32))
+        xs = ((xs_r, grp(jnp.stack(labels)), xs_a) if conditional
+              else (xs_r, xs_a))
+
+        def scan_body(carry, xs_t):
+            r, lab, a = xs_t if conditional else (xs_t[0], None, xs_t[1])
+            msum = None
+            for j in range(g):     # one GP step + g-1 plain steps, unrolled
+                body = body_gp if j == 0 else body_nogp
+                carry, m = body(carry, r[j],
+                                lab[j] if conditional else None, a[j])
+                msum = (m if msum is None
+                        else jax.tree.map(jnp.add, msum, m))
+            return carry, msum
+
+        state, ms = jax.lax.scan(scan_body, state, xs)
+        return state, jax.tree.map(lambda a: jnp.sum(a, axis=0), ms)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi_step, donate_argnums=donate_argnums)
 
 
 def make_eval_generate(gcfg: GeneratorConfig, *, step: int,

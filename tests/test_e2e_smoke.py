@@ -188,3 +188,30 @@ def test_checkpoint_roundtrip_and_grower(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(grown["to_rgb"]["32"]["w"]),
         np.asarray(big["to_rgb"]["32"]["w"]))
+
+
+def test_steps_per_call_matches_single_dispatch(tmp_path):
+    """steps_per_call rolls iterations into scanned windows but leaves the
+    training stream identical: same final params/EMA, same artifacts at
+    the same iterations, windows falling back to single steps around
+    stage/phase/event boundaries automatically."""
+    import jax
+
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    t1 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    import dataclasses
+    loop_cfg2 = dataclasses.replace(loop_cfg, trial_name="smoke_scan",
+                                    steps_per_call=5)
+    t2 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2)
+
+    assert sorted(os.listdir(os.path.join(t1, "checkpoint"))) == \
+        sorted(os.listdir(os.path.join(t2, "checkpoint")))
+    g1 = ckpt.load_params(ckpt.latest_checkpoint(t1, "g"))
+    g2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "g"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), g1, g2)
+    d1 = ckpt.load_params(ckpt.latest_checkpoint(t1, "d"))
+    d2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "d"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), d1, d2)

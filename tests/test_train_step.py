@@ -501,3 +501,108 @@ def test_jvp_gp_mode_matches_reverse_exactly():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-12, atol=0),
         outs["reverse"], outs["jvp"])
+
+
+def _run_singles(gcfg, dcfg, tc, state, reals, labels, alphas, *,
+                 step, fading):
+    steps = {}
+    for j in range(len(reals)):
+        apply_gp = j % tc.gp_every == 0
+        if apply_gp not in steps:
+            steps[apply_gp] = make_train_step(
+                gcfg, dcfg, tc, step=step, fading=fading,
+                apply_gp=apply_gp, donate=False)
+        state, m = steps[apply_gp](
+            state, reals[j],
+            labels[j] if labels is not None else None,
+            jnp.float32(alphas[j]))
+    return state, m
+
+
+def test_multi_step_scan_matches_singles():
+    """k scanned iterations == k single dispatches: same params (the scan
+    body IS the single-step body; RNG threads through state identically),
+    summed metrics consistent."""
+    from pgx.train import make_train_multi_step
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    k = 4
+    state0 = init_train_state(jax.random.PRNGKey(3), gcfg, dcfg, tc)
+    rs = np.random.RandomState(0)
+    reals = tuple(jnp.asarray(rs.randn(4, 8, 8, 1).astype(np.float32))
+                  for _ in range(k))
+    alphas = np.linspace(0.2, 0.8, k).astype(np.float32)
+
+    ref_state, _ = _run_singles(gcfg, dcfg, tc,
+                                jax.tree.map(jnp.copy, state0), reals,
+                                None, alphas, step=1, fading=True)
+    multi = make_train_multi_step(gcfg, dcfg, tc, step=1, fading=True,
+                                  k=k, donate=False)
+    out_state, msum = multi(state0, reals, None, jnp.asarray(alphas))
+
+    assert int(out_state["iteration"]) == k
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7),
+        jax.device_get({"g": ref_state["g"], "d": ref_state["d"],
+                        "g_ema": ref_state["g_ema"]}),
+        jax.device_get({"g": out_state["g"], "d": out_state["d"],
+                        "g_ema": out_state["g_ema"]}))
+    for key in ("d_loss", "g_loss", "grad_penalty"):
+        assert np.isfinite(float(msum[key]))
+
+
+def test_multi_step_scan_conditional_gp_every_ada():
+    """The production recipe scanned: conditional + ADA + gp_every=2 —
+    the window groups one GP step + one plain step per scan element and
+    still matches the single-step stream."""
+    from pgx.augment import AdaConfig, bgc_config
+    from pgx.train import make_train_multi_step
+
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, channel=8,
+                                           num_classes=3)
+    dcfg = zoo.mnist_conditional_discriminator_wgangp(feat_dim=8,
+                                                      num_classes=3)
+    tc = TrainConfig(gp_every=2)
+    aug, ada = bgc_config(), AdaConfig(ada_length=2000)
+    k = 4
+    state0 = init_train_state(jax.random.PRNGKey(5), gcfg, dcfg, tc)
+    rs = np.random.RandomState(1)
+    reals = tuple(jnp.asarray(rs.randn(4, 8, 8, 1).astype(np.float32))
+                  for _ in range(k))
+    labels = tuple(jnp.asarray(rs.randint(0, 3, 4)) for _ in range(k))
+    alphas = np.ones(k, np.float32)
+
+    steps = {}
+    ref_state = jax.tree.map(jnp.copy, state0)
+    for j in range(k):
+        apply_gp = j % 2 == 0
+        if apply_gp not in steps:
+            steps[apply_gp] = make_train_step(
+                gcfg, dcfg, tc, step=1, fading=False, apply_gp=apply_gp,
+                augment_cfg=aug, ada_cfg=ada, donate=False)
+        ref_state, _ = steps[apply_gp](ref_state, reals[j], labels[j],
+                                       jnp.float32(1.0))
+
+    multi = make_train_multi_step(gcfg, dcfg, tc, step=1, fading=False,
+                                  k=k, augment_cfg=aug, ada_cfg=ada,
+                                  donate=False)
+    out_state, msum = multi(state0, reals, labels, jnp.asarray(alphas))
+    np.testing.assert_allclose(np.asarray(out_state["ada"]["p"]),
+                               np.asarray(ref_state["ada"]["p"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7),
+        jax.device_get(ref_state["g"]), jax.device_get(out_state["g"]))
+    assert int(out_state["iteration"]) == k
+
+    # constraint validation
+    import pytest
+    with pytest.raises(ValueError):
+        make_train_multi_step(gcfg, dcfg, tc, step=1, fading=False, k=3)
+    with pytest.raises(ValueError):
+        make_train_multi_step(gcfg, dcfg, TrainConfig(n_critic=2),
+                              step=1, fading=False, k=2)
