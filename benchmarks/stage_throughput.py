@@ -37,6 +37,11 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gp-every", type=int, default=1)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="time the scanned multi-step dispatch "
+                        "(make_train_multi_step) instead of one jit call "
+                        "per iteration — the small-stage host-overhead "
+                        "amortization")
     p.add_argument("--weak-scaling", action="store_true",
                    help="fixed per-device batch over growing device meshes")
     p.add_argument("--step", type=int, default=6,
@@ -68,16 +73,28 @@ def main():
         real = jnp.asarray(
             rng.randn(args.batch_size, res, res, 3).astype(np.float32))
         for fading in ([False] if step == 1 else [True, False]):
-            fn = make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
-                                 donate=False)
-            state, m = fn(state0, real, labels, alpha)
+            k = args.steps_per_call
+            if k > 1:
+                from pgx.train import make_train_multi_step
+                mfn = make_train_multi_step(gcfg, dcfg, tc, step=step,
+                                            fading=fading, k=k,
+                                            donate=False)
+                reals = (real,) * k
+                labs = (labels,) * k
+                alphas = jnp.full((k,), 0.5, jnp.float32)
+                fn = lambda s: mfn(s, reals, labs, alphas)
+            else:
+                sfn = make_train_step(gcfg, dcfg, tc, step=step,
+                                      fading=fading, donate=False)
+                fn = lambda s: sfn(s, real, labels, alpha)
+            state, m = fn(state0)
             float(m["d_total"])  # force compile + completion (axon relay)
             t0 = time.perf_counter()
             s = state0
             for _ in range(args.steps):
-                s, m = fn(s, real, labels, alpha)
+                s, m = fn(s)
             float(m["d_total"])
-            dt = (time.perf_counter() - t0) / args.steps
+            dt = (time.perf_counter() - t0) / (args.steps * k)
             ips = args.batch_size / dt
             phase = "fade" if fading else "stable"
             rows.append({"step": step, "resolution": res, "phase": phase,
@@ -88,7 +105,9 @@ def main():
 
     print(json.dumps({"metric": "per_stage_images_per_sec",
                       "batch_size": args.batch_size, "dtype": args.dtype,
-                      "gp_every": args.gp_every, "stages": rows}))
+                      "gp_every": args.gp_every,
+                      "steps_per_call": args.steps_per_call,
+                      "stages": rows}))
 
 
 def weak_scaling(args):
