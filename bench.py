@@ -22,12 +22,14 @@ import numpy as np
 
 def bench_train_step(batch_size: int, dtype: str, steps: int,
                      fading: bool = False, gp_every: int = 1,
-                     ada: bool = False, gp_mode: str = "reverse"):
+                     ada: bool = False, gp_mode: str = "reverse",
+                     steps_per_call: int = 1):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_configs
-    from pgx.train import TrainConfig, init_train_state, make_train_step
+    from pgx.train import (TrainConfig, init_train_state,
+                           make_train_multi_step, make_train_step)
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
     tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode)
@@ -42,6 +44,27 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     real = jnp.asarray(rng.randn(batch_size, res, res, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, gcfg.num_classes, batch_size))
     alpha = jnp.float32(1.0)
+
+    if steps_per_call > 1:
+        # the scanned dispatch is the SAME iteration stream (lax.scan over
+        # the single-step body; parity-locked in tests/test_train_step.py),
+        # so the headline stays a reference-exact G+D step measurement —
+        # with the per-call host overhead amortized as the shipped
+        # --steps-per-call training path does
+        k = steps_per_call
+        mfn = make_train_multi_step(gcfg, dcfg, tc, step=6, fading=fading,
+                                    k=k, **aug_kwargs)
+        reals, labs = (real,) * k, (labels,) * k
+        alphas = jnp.ones((k,), jnp.float32)
+        state, metrics = mfn(state, reals, labs, alphas)
+        float(metrics["d_total"])
+        nw = max(1, steps // k)
+        t0 = time.perf_counter()
+        for _ in range(nw):
+            state, metrics = mfn(state, reals, labs, alphas)
+        float(metrics["d_total"])
+        dt = time.perf_counter() - t0
+        return batch_size * k * nw / dt, metrics
 
     train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
                                  **aug_kwargs)
@@ -87,11 +110,19 @@ def main():
     p.add_argument("--gp-mode", default="reverse",
                    choices=["reverse", "jvp"],
                    help="GP gradient structure (TrainConfig.gp_mode)")
+    p.add_argument("--steps-per-call", type=int, default=8,
+                   help="iterations per device dispatch (lax.scan over the "
+                        "identical single-step body; 1 = one jit call per "
+                        "iteration)")
     args = p.parse_args()
+    if args.steps_per_call % max(args.gp_every, 1):
+        args.steps_per_call = 1          # scan needs k % gp_every == 0
 
-    ips, metrics = bench_train_step(args.batch_size, args.dtype, args.steps,
+    ips, metrics = bench_train_step(args.batch_size, args.dtype,
+                                    max(args.steps, args.steps_per_call * 3),
                                     gp_every=args.gp_every, ada=args.ada,
-                                    gp_mode=args.gp_mode)
+                                    gp_mode=args.gp_mode,
+                                    steps_per_call=args.steps_per_call)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

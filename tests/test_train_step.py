@@ -606,3 +606,38 @@ def test_multi_step_scan_conditional_gp_every_ada():
     with pytest.raises(ValueError):
         make_train_multi_step(gcfg, dcfg, TrainConfig(n_critic=2),
                               step=1, fading=False, k=2)
+
+
+def test_sharded_multi_step_scan_matches_single_device():
+    """The scanned dispatch under GSPMD data parallelism: a k-window on the
+    8-device mesh (each batch sharded, state replicated) matches the same
+    window on one device — the loop allows steps_per_call with use_mesh."""
+    from pgx.parallel import make_mesh, replicate, shard_batch
+    from pgx.train import make_train_multi_step
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    k = 3
+    state = init_train_state(jax.random.PRNGKey(7), gcfg, dcfg, tc)
+    rs = np.random.RandomState(2)
+    reals_np = [rs.randn(16, 8, 8, 1).astype(np.float32) for _ in range(k)]
+    alphas = jnp.ones((k,), jnp.float32)
+
+    mfn = make_train_multi_step(gcfg, dcfg, tc, step=1, fading=False,
+                                k=k, donate=False)
+    s_single, m_single = mfn(state, tuple(map(jnp.asarray, reals_np)),
+                             None, alphas)
+
+    mesh = make_mesh()
+    s_shard = replicate(mesh, state)
+    reals_sh = tuple(shard_batch(mesh, r) for r in reals_np)
+    s_shard, m_shard = mfn(s_shard, reals_sh, None, alphas)
+
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]), rtol=1e-5)
+    for part in ("g", "d", "g_ema"):
+        for a, b in zip(jax.tree.leaves(s_single[part]),
+                        jax.tree.leaves(s_shard[part])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
