@@ -78,6 +78,16 @@ def add_common_args(p: argparse.ArgumentParser,
                    default=defaults.get("log_every", 500))
     p.add_argument("--no-mesh", dest="use_mesh", action="store_false",
                    default=True)
+    p.add_argument("--fid-every", type=int, default=0,
+                   help="in-training quality gate: FID of the EMA generator "
+                        "every N iterations, appended to fid_score.json "
+                        "(0 = off; array-backed datasets only — use "
+                        "pgx.cli.fid_sweep post-hoc otherwise)")
+    p.add_argument("--fid-samples", type=int, default=1024)
+    p.add_argument("--inception-weights", type=str, default=None,
+                   help="pytorch_fid/torchvision InceptionV3 state_dict for "
+                        "--fid-every (without it a random-init extractor is "
+                        "used: trends are meaningful, absolute scale is not)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="roll N iterations into one device dispatch "
                         "(lax.scan over the fused step) — amortizes host "

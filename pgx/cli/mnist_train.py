@@ -54,6 +54,8 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         seed=args.seed, tail_iterations=args.tail_iterations,
         use_mesh=args.use_mesh,
+        fid_every=args.fid_every, fid_samples=args.fid_samples,
+        inception_weights=args.inception_weights,
         steps_per_call=args.steps_per_call,
         model_parallel=args.model_parallel,
         model_parallel_mode=args.model_parallel_mode,

@@ -43,11 +43,13 @@ def append_fid_score(trial_dir: str, name: str, score: float) -> None:
 
 def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
                      num_samples: int, batch_size: int = 50, seed: int = 0,
-                     num_classes: int = 0) -> np.ndarray:
+                     num_classes: int = 0, gen=None) -> np.ndarray:
     """Batched EMA-generator sampling (reference :103-113); returns float32
     NHWC outputs (pre-squash — the FID preprocessing applies the reference's
-    tanh quirk)."""
-    gen = make_eval_generate(gcfg, step=step, fading=fading)
+    tanh quirk).  ``gen`` lets a caller pass a cached jitted generator
+    (TrainingFid scores repeatedly at the same growth stage)."""
+    if gen is None:
+        gen = make_eval_generate(gcfg, step=step, fading=fading)
     rng = np.random.RandomState(seed)
     # class-BALANCED labels (shuffled round-robin), matching the real-side
     # statistics which are computed over class-balanced subsets
@@ -131,3 +133,70 @@ def load_real_statistics(out_dir: str, size: int, prefix: str = ""):
     """(mu, sigma) loader (get_original_statistics, same file :13-19)."""
     with np.load(os.path.join(out_dir, f"{prefix}{size}_stats.npz")) as d:
         return d["mu"], d["sigma"]
+
+
+class TrainingFid:
+    """In-training FID: score the (EMA) generator against per-resolution
+    real statistics DURING a run, appending to the trial's incremental
+    ``fid_score.json`` under the same ``{iter}_g.model`` keys the post-hoc
+    sweep uses — a later ``pgx.cli.fid_sweep`` skips already-scored
+    checkpoints automatically.  The reference's quality gate is post-hoc
+    only (fid/load_*_model_and_fid_it.py); wiring it into the loop
+    (``--fid-every``) closes the feedback cycle without a second process.
+
+    Needs an array-backed dataset (per-resolution uint8 caches); real
+    statistics are computed once per resolution over a deterministic
+    class-balanced subset and cached.
+    """
+
+    def __init__(self, dataset, gcfg, num_samples: int = 1024,
+                 batch_size: int = 50, extractor: Optional[Callable] = None,
+                 max_real: int = 2048, seed: int = 0):
+        if not hasattr(dataset, "at_resolution"):
+            raise TypeError(
+                "in-training FID needs an array-backed dataset with "
+                "per-resolution caches; for folder/WikiArt pipelines run "
+                "pgx.cli.fid_sweep post-hoc")
+        if extractor is None:
+            extractor = make_extractor()
+        self.dataset = dataset
+        self.gcfg = gcfg
+        self.num_samples = int(num_samples)
+        self.batch_size = int(batch_size)
+        self.extractor = extractor
+        self.max_real = int(max_real)
+        self.seed = int(seed)
+        self._real_stats = {}          # resolution -> (mu, sigma)
+        self._gen_cache = {}           # (step, fading) -> jitted generator
+
+    def real_stats(self, resolution: int):
+        if resolution not in self._real_stats:
+            sub = self.dataset.subset(self.max_real, seed=self.seed)
+            data = sub.at_resolution(resolution)
+            self._real_stats[resolution] = calculate_activation_statistics(
+                data, self.extractor, self.batch_size)
+        return self._real_stats[resolution]
+
+    def score(self, trial_dir: Optional[str], iteration: int, params,
+              st) -> float:
+        """FID of ``params`` at growth state ``st``; appends to the trial's
+        fid_score.json when ``trial_dir`` is given."""
+        gkey = (st.step, st.fading)
+        if gkey not in self._gen_cache:
+            self._gen_cache[gkey] = make_eval_generate(
+                self.gcfg, step=st.step, fading=st.fading)
+        conditional = self.gcfg.conditioning != "none"
+        samples = generate_samples(
+            params, self.gcfg, step=st.step, alpha=float(st.alpha),
+            fading=st.fading, num_samples=self.num_samples,
+            batch_size=self.batch_size, seed=self.seed,
+            num_classes=self.gcfg.num_classes if conditional else 0,
+            gen=self._gen_cache[gkey])
+        mu_g, sig_g = calculate_activation_statistics(
+            samples, self.extractor, self.batch_size)
+        mu_r, sig_r = self.real_stats(st.resolution)
+        fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
+        if trial_dir is not None:
+            append_fid_score(trial_dir, ckpt.checkpoint_name(iteration, "g"),
+                             fid)
+        return float(fid)

@@ -52,6 +52,13 @@ class LoopConfig:
     keep_full_state: bool = True
     checkpoint_backend: str = "npz"   # "npz" (msgpack full state) | "orbax"
                                       # (async step-indexed full state)
+    fid_every: int = 0              # in-training quality gate: FID of the
+                                    # EMA generator every N iterations,
+                                    # appended to the trial's
+                                    # fid_score.json (0 = off; the
+                                    # reference only scores post-hoc)
+    fid_samples: int = 1024
+    inception_weights: Optional[str] = None
     use_mesh: bool = True
     steps_per_call: int = 1         # roll N iterations into one lax.scan
                                     # dispatch (make_train_multi_step) —
@@ -96,8 +103,11 @@ def _scan_window(i: int, st, schedule, total: int, tc: TrainConfig,
     not overrun ``total``."""
     if i % tc.gp_every != 0 or k % tc.gp_every != 0 or i + k > total:
         return 1
-    for every in (loop_cfg.sample_every, loop_cfg.checkpoint_every,
-                  loop_cfg.log_every):
+    events = [loop_cfg.sample_every, loop_cfg.checkpoint_every,
+              loop_cfg.log_every]
+    if loop_cfg.fid_every > 0:
+        events.append(loop_cfg.fid_every)
+    for every in events:
         # next event strictly inside (i, i+k) -> can't fuse past it
         if ((i // every) + 1) * every < i + k:
             return 1
@@ -333,6 +343,32 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     sample_z, sample_labels, sample_nrow = _sample_grid_inputs(
         gcfg, loop_cfg, sample_rng)
 
+    fid_hook = None
+    if loop_cfg.fid_every > 0:
+        if n_hosts > 1:
+            if is_main:
+                import warnings
+                warnings.warn("--fid-every is single-host only (the metric "
+                              "pass would need every process in its jits); "
+                              "run pgx.cli.fid_sweep post-hoc",
+                              RuntimeWarning)
+        elif is_main:
+            from pgx.eval.sweep import TrainingFid
+            extractor = None
+            if loop_cfg.inception_weights:
+                from pgx.eval.fid import make_extractor
+                from pgx.eval.inception import load_torch_weights
+                extractor = make_extractor(
+                    load_torch_weights(loop_cfg.inception_weights))
+            try:
+                fid_hook = TrainingFid(dataset, gcfg,
+                                       num_samples=loop_cfg.fid_samples,
+                                       extractor=extractor,
+                                       seed=loop_cfg.seed)
+            except TypeError as e:   # folder/wikiart pipelines
+                import warnings
+                warnings.warn(str(e), RuntimeWarning)
+
     prefetcher = None
     current_res = None
     sums: Dict[str, Any] = {}
@@ -444,6 +480,17 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     save_full(it, state)
                 except OSError:
                     pass  # reference behavior: never die on a ckpt write
+
+            if fid_hook is not None and it % loop_cfg.fid_every == 0:
+                try:
+                    fid = fid_hook.score(trial_dir, it, state["g_ema"], st)
+                    if loop_cfg.verbose:
+                        print(f"{it}; FID: {fid:.4f} (res {st.resolution})",
+                              flush=True)
+                except Exception as e:   # metric failure never kills a run
+                    import warnings
+                    warnings.warn(f"in-training FID failed at {it}: {e}",
+                                  RuntimeWarning)
 
             if it % loop_cfg.log_every == 0 and count:
                 vals = {k: float(v) / count for k, v in sums.items()}

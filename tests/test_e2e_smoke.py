@@ -215,3 +215,25 @@ def test_steps_per_call_matches_single_dispatch(tmp_path):
     d2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "d"))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=2e-5, atol=1e-6), d1, d2)
+
+
+def test_in_training_fid_gate(tmp_path):
+    """--fid-every scores the EMA generator during the run: fid_score.json
+    appears with entries under the sweep's {iter}_g.model keys, finite, at
+    exactly the configured cadence."""
+    import dataclasses
+    import json
+
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    loop_cfg = dataclasses.replace(loop_cfg, trial_name="smoke_fid",
+                                   fid_every=12, fid_samples=16)
+    trial = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    with open(os.path.join(trial, "fid_score.json")) as f:
+        scores = json.load(f)
+    assert set(scores) == {"012_g.model", "024_g.model"}
+    assert all(np.isfinite(v) for v in scores.values())
+
+    # the post-hoc sweep sees these as already scored and adds nothing new
+    from pgx.eval.sweep import load_fid_scores
+    assert load_fid_scores(trial) == scores
