@@ -8,6 +8,18 @@ from pgx.data import load_cifar10, load_mnist, load_sklearn_digits, \
     synthetic_dataset
 
 
+def _steps_per_call(value: str) -> int:
+    """'auto' -> 0 (the loop measures each stage and picks the window),
+    otherwise a positive iteration count."""
+    if value == "auto":
+        return 0
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            "--steps-per-call takes a positive integer or 'auto'")
+    return n
+
+
 def add_common_args(p: argparse.ArgumentParser,
                     defaults: dict) -> argparse.ArgumentParser:
     p.add_argument("--path", type=str, default=None,
@@ -88,11 +100,12 @@ def add_common_args(p: argparse.ArgumentParser,
                    help="pytorch_fid/torchvision InceptionV3 state_dict for "
                         "--fid-every (without it a random-init extractor is "
                         "used: trends are meaningful, absolute scale is not)")
-    p.add_argument("--steps-per-call", type=int, default=1,
+    p.add_argument("--steps-per-call", type=_steps_per_call, default=1,
                    help="roll N iterations into one device dispatch "
                         "(lax.scan over the fused step) — amortizes host "
                         "overhead at the small early stages; math and RNG "
-                        "stream are identical to N single steps")
+                        "stream are identical to N single steps.  'auto' "
+                        "times each stage and picks the window itself")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="model-axis shards on a 2-D (data, model) mesh: "
                         "params channel-sharded (or images H-sharded with "

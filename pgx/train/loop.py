@@ -64,7 +64,11 @@ class LoopConfig:
                                     # dispatch (make_train_multi_step) —
                                     # amortizes host overhead at the small
                                     # early stages; 1 == one jit call per
-                                    # iteration (reference cadence)
+                                    # iteration (reference cadence);
+                                    # 0 == auto: time a few single steps at
+                                    # each stage start and pick the window
+                                    # (16 for dispatch-bound stages, 8 for
+                                    # borderline, 1 once device-bound)
     model_parallel: int = 1         # model-axis shards (pgx/parallel/tp.py)
     model_parallel_mode: str = "channels"   # "channels" (TP) | "spatial"
     verbose: bool = True
@@ -377,9 +381,22 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     t_log = time.time()
 
     conditional = gcfg.conditioning != "none"
+    auto_scan = loop_cfg.steps_per_call == 0
     scan_k = max(1, int(loop_cfg.steps_per_call))
-    can_scan = (scan_k > 1 and tc.n_critic == 1
+    can_scan = ((scan_k > 1 or auto_scan) and tc.n_critic == 1
                 and "on_iteration" not in hooks)
+    stage_k: Dict[int, int] = {}    # auto mode: chosen window per stage
+    measure: list = []              # auto mode: single-step ms samples
+
+    def _auto_k(ms: float) -> int:
+        """Window for a measured single-step time: dispatch overhead is
+        ~2-3 ms/step (benchmarks/README.md 'Scanned multi-step dispatch'),
+        so scanning pays big below ~20 ms, modestly below ~60, and only
+        compile time above."""
+        base = 16 if ms < 20.0 else (8 if ms < 60.0 else 1)
+        if base == 1:
+            return 1
+        return max(tc.gp_every * max(1, base // tc.gp_every), 1)
 
     try:
         i = start_iter
@@ -401,11 +418,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                              seed=host_seed + st.step), mesh,
                     image_sharding=img_sh)
                 current_res = st.resolution
+                measure.clear()
 
             w = 1
             if can_scan and i != start_iter:   # first iter fires events
-                w = _scan_window(i, st, schedule, total, tc, loop_cfg,
-                                 scan_k)
+                k_here = (stage_k.get(st.step, 1) if auto_scan else scan_k)
+                if k_here > 1:
+                    w = _scan_window(i, st, schedule, total, tc, loop_cfg,
+                                     k_here)
             if w > 1:
                 batches = [next(prefetcher) for _ in range(w)]
                 alphas = np.asarray(
@@ -433,8 +453,26 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                         update_g=update_g, apply_gp=apply_gp,
                         augment_cfg=augment_cfg, ada_cfg=ada_cfg,
                         augment_p=augment_p)
+                t_meas = (time.perf_counter()
+                          if auto_scan and can_scan
+                          and st.step not in stage_k else None)
                 state, metrics = step_cache[fkey](
                     state, imgs, labels, jnp.float32(st.alpha))
+                if t_meas is not None:
+                    # measure a few single steps at stage start (a fetch is
+                    # the only completion barrier on the axon relay); the
+                    # first samples are compiles (two graph variants when
+                    # gp_every > 1), min of the rest is the step
+                    float(metrics["d_total"])
+                    measure.append(time.perf_counter() - t_meas)
+                    if len(measure) >= 5:
+                        ms = 1e3 * min(measure[2:])
+                        stage_k[st.step] = _auto_k(ms)
+                        measure.clear()
+                        if loop_cfg.verbose and is_main:
+                            print(f"[auto] stage {st.step}: {ms:.1f} "
+                                  f"ms/step -> steps_per_call "
+                                  f"{stage_k[st.step]}", flush=True)
                 # with gp_every > 1, average the penalty only over
                 # iterations that actually computed it (the zeros from
                 # skipped iterations would dilute the logged value by

@@ -237,3 +237,24 @@ def test_in_training_fid_gate(tmp_path):
     # the post-hoc sweep sees these as already scored and adds nothing new
     from pgx.eval.sweep import load_fid_scores
     assert load_fid_scores(trial) == scores
+
+
+def test_steps_per_call_auto(tmp_path):
+    """steps_per_call=0 (auto) times each stage, picks a window, and still
+    matches the single-dispatch run exactly (same checkpoints, same
+    params): the measurement steps are ordinary single steps."""
+    import dataclasses
+    import jax
+
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    t1 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+    loop_cfg2 = dataclasses.replace(loop_cfg, trial_name="smoke_auto",
+                                    steps_per_call=0)
+    t2 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2)
+
+    assert sorted(os.listdir(os.path.join(t1, "checkpoint"))) == \
+        sorted(os.listdir(os.path.join(t2, "checkpoint")))
+    g1 = ckpt.load_params(ckpt.latest_checkpoint(t1, "g"))
+    g2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "g"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), g1, g2)
