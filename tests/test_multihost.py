@@ -39,6 +39,9 @@ def test_two_process_training(tmp_path):
             "--total-iter", "8", "--batch-size", "8", "--channels", "8",
             "--max-step", "2", "--sample-every", "4",
             "--checkpoint-every", "8", "--log-every", "4",
+            # iterations 4..8 run as one scanned window: covers the
+            # multi-step dispatch under real multi-process SPMD
+            "--steps-per-call", "4",
             "--output", str(tmp_path),
         ]
         procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
