@@ -7,6 +7,7 @@ weights transplanted and identical z/eps draws.
 """
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -554,6 +555,7 @@ def test_multi_step_scan_matches_singles():
         assert np.isfinite(float(msum[key]))
 
 
+@pytest.mark.slow
 def test_multi_step_scan_conditional_gp_every_ada():
     """The production recipe scanned: conditional + ADA + gp_every=2 —
     the window groups one GP step + one plain step per scan element and
@@ -600,7 +602,6 @@ def test_multi_step_scan_conditional_gp_every_ada():
     assert int(out_state["iteration"]) == k
 
     # constraint validation
-    import pytest
     with pytest.raises(ValueError):
         make_train_multi_step(gcfg, dcfg, tc, step=1, fading=False, k=3)
     with pytest.raises(ValueError):
@@ -608,6 +609,7 @@ def test_multi_step_scan_conditional_gp_every_ada():
                               step=1, fading=False, k=2)
 
 
+@pytest.mark.slow
 def test_sharded_multi_step_scan_matches_single_device():
     """The scanned dispatch under GSPMD data parallelism: a k-window on the
     8-device mesh (each batch sharded, state replicated) matches the same
