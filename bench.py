@@ -116,6 +116,10 @@ def main():
                         "iteration)")
     args = p.parse_args()
     if args.steps_per_call % max(args.gp_every, 1):
+        import sys
+        print(f"steps_per_call={args.steps_per_call} is not a multiple of "
+              f"gp_every={args.gp_every}; falling back to single-step "
+              f"dispatch", file=sys.stderr)
         args.steps_per_call = 1          # scan needs k % gp_every == 0
 
     ips, metrics = bench_train_step(args.batch_size, args.dtype,
@@ -145,6 +149,7 @@ def main():
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "steps_per_call": args.steps_per_call,
     }))
 
 

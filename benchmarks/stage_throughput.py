@@ -57,6 +57,12 @@ def main():
     from __graft_entry__ import _flagship_configs
     from pgx.train import TrainConfig, init_train_state, make_train_step
 
+    if args.steps_per_call % max(args.gp_every, 1):
+        print(f"steps_per_call={args.steps_per_call} is not a multiple of "
+              f"gp_every={args.gp_every}; falling back to single-step "
+              f"dispatch", file=sys.stderr)
+        args.steps_per_call = 1
+
     if args.weak_scaling:
         return weak_scaling(args)
 

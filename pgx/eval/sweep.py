@@ -151,7 +151,8 @@ class TrainingFid:
 
     def __init__(self, dataset, gcfg, num_samples: int = 1024,
                  batch_size: int = 50, extractor: Optional[Callable] = None,
-                 max_real: int = 2048, seed: int = 0):
+                 max_real: int = 2048, seed: int = 0,
+                 gen_cache: Optional[dict] = None):
         if not hasattr(dataset, "at_resolution"):
             raise TypeError(
                 "in-training FID needs an array-backed dataset with "
@@ -167,7 +168,10 @@ class TrainingFid:
         self.max_real = int(max_real)
         self.seed = int(seed)
         self._real_stats = {}          # resolution -> (mu, sigma)
-        self._gen_cache = {}           # (step, fading) -> jitted generator
+        # (step, fading) -> jitted generator; the train loop passes its own
+        # sample-grid cache here so each stage's generator is traced once,
+        # not once for grids and again for FID
+        self._gen_cache = gen_cache if gen_cache is not None else {}
 
     def real_stats(self, resolution: int):
         if resolution not in self._real_stats:

@@ -353,19 +353,24 @@ class GeneratorService:
         """Enqueue one request; the future resolves to (n, H, W, C) images —
         uint8 in [0, 255] by default, float32 in [-1, 1] with
         ``output='float'``."""
-        if self._closed:
-            raise RuntimeError("service closed")
         z = np.asarray(z, np.float32)
         if self.conditional:
             if labels is None:
                 raise ValueError("conditional model requires labels")
             labels = np.asarray(labels, np.int32)
         fut = Future()
+        # the closed-check and the put must be atomic with close() (which
+        # flips _closed and enqueues the sentinel under the same lock) —
+        # otherwise a request can slip in after the batcher drained and its
+        # future would never resolve
         with self._lock:
+            if self._closed:
+                raise RuntimeError("service closed")
             self._stats["requests"] += 1
             self._stats["images"] += z.shape[0]
-        self._queue.put(_Request(z, labels if self.conditional else None,
-                                 fut))
+            self._queue.put(_Request(z,
+                                     labels if self.conditional else None,
+                                     fut))
         return fut
 
     def generate_images(self, num: int, labels=None, class_id=None,
@@ -421,9 +426,10 @@ class GeneratorService:
         return s
 
     def close(self) -> None:
-        self._closed = True
+        with self._lock:
+            self._closed = True
+            self._queue.put(None)
         self._stop.set()
-        self._queue.put(None)
         self._batcher.join(timeout=10)
         self._resolver.shutdown(wait=True)
         if self._watcher is not None:

@@ -368,7 +368,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 fid_hook = TrainingFid(dataset, gcfg,
                                        num_samples=loop_cfg.fid_samples,
                                        extractor=extractor,
-                                       seed=loop_cfg.seed)
+                                       seed=loop_cfg.seed,
+                                       gen_cache=gen_cache)
             except TypeError as e:   # folder/wikiart pipelines
                 import warnings
                 warnings.warn(str(e), RuntimeWarning)
@@ -467,6 +468,16 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     measure.append(time.perf_counter() - t_meas)
                     if len(measure) >= 5:
                         ms = 1e3 * min(measure[2:])
+                        if n_hosts > 1:
+                            # every host reaches this at the same iteration
+                            # (deterministic trigger), but wall-clock
+                            # timings differ per host — the window choice
+                            # must be SPMD-identical or hosts compile
+                            # different programs and hang, so process 0's
+                            # measurement decides for everyone
+                            from pgx.parallel.distributed import \
+                                broadcast_obj
+                            ms = broadcast_obj(ms if is_main else None)
                         stage_k[st.step] = _auto_k(ms)
                         measure.clear()
                         if loop_cfg.verbose and is_main:
