@@ -399,6 +399,24 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             return 1
         return max(tc.gp_every * max(1, base // tc.gp_every), 1)
 
+    # TPU-pod preemption / managed-job shutdown arrives as SIGTERM, not
+    # KeyboardInterrupt: route it through the same emergency-checkpoint
+    # unwind so a preempted run is resumable at the exact iteration it
+    # stopped (signal handlers only install from the main thread — tests
+    # and embedded uses off-thread keep default delivery)
+    import signal
+    import threading as _threading
+    sigterm_installed = False
+    prev_sigterm = None
+    if _threading.current_thread() is _threading.main_thread():
+        def _on_sigterm(signum, frame):
+            raise SystemExit(143)
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            sigterm_installed = True
+        except ValueError:
+            pass
+
     try:
         i = start_iter
         while i < total:
@@ -589,6 +607,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     else:
         save_full(total, state)  # collective; process 0 writes
     finally:
+        if sigterm_installed:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         if prefetcher is not None:
             prefetcher.close()
         if orbax_store is not None:

@@ -258,3 +258,59 @@ def test_steps_per_call_auto(tmp_path):
     g2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "g"))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=2e-5, atol=1e-6), g1, g2)
+
+
+def test_sigterm_preemption_saves_emergency_checkpoint(tmp_path):
+    """TPU-pod preemption arrives as SIGTERM: a real training process must
+    unwind through the emergency-checkpoint path (resumable full state at
+    the iteration it stopped) and exit 143 — failure handling the
+    reference lacks entirely (its saves are bare try/except)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=8'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from pgx.cli.mnist_train import main\n"
+        f"main(['--synthetic', '--total-iter', '100000', '--channels',"
+        f" '8', '--batch-size', '8', '--main-path', {str(tmp_path)!r},"
+        " '--log-every', '5', '--sample-every', '100000',"
+        " '--checkpoint-every', '100000'])\n")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+    try:
+        # wait until the run is live (initial checkpoint written), then let
+        # it train a little before "preempting" it
+        trial = None
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            trials = [d for d in os.listdir(tmp_path)
+                      if d.startswith("trial_")]
+            if trials:
+                ck = os.path.join(tmp_path, trials[0], "checkpoint")
+                if os.path.isdir(ck) and any(
+                        n.endswith("_state.msgpack")
+                        for n in os.listdir(ck)):
+                    trial = os.path.join(tmp_path, trials[0])
+                    break
+            time.sleep(1)
+        assert trial is not None, "run never wrote its initial checkpoint"
+        time.sleep(10)
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=180)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 143, (p.returncode, out[-2000:])
+    assert "interrupted: emergency checkpoint" in out, out[-2000:]
+    states = [n for n in os.listdir(os.path.join(trial, "checkpoint"))
+              if n.endswith("_state.msgpack")]
+    assert states, "no resumable full state after preemption"
