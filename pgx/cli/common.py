@@ -179,6 +179,43 @@ def get_dataset(args, kind: str, num_classes: int = 0):
     return ds
 
 
+def add_stage_batch_arg(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """--stage-batches for the images-seen (proper) schedulers: Karras et
+    al. trained with large minibatches at low resolutions; the schedule is
+    images-seen, so a bigger early batch means proportionally fewer
+    iterations over the same data budget."""
+    p.add_argument("--stage-batches", type=str, default=None,
+                   metavar="RES:BATCH,...",
+                   help="per-resolution batch sizes for the images-seen "
+                        "schedule, e.g. '4:512,8:256,16:128' (unlisted "
+                        "resolutions use --batch-size).  Same per-iteration "
+                        "math; the data budget just divides into fewer, "
+                        "bigger iterations at the listed stages")
+    return p
+
+
+def parse_stage_batches(spec, max_step: int, init_step: int = 1):
+    """'4:512,8:256' -> {step: batch} for ProperSchedule (res = 4*2**(s-1));
+    None/empty spec -> None."""
+    if not spec:
+        return None
+    out = {}
+    for item in spec.split(","):
+        res_s, _, batch_s = item.partition(":")
+        res, batch = int(res_s), int(batch_s)
+        if batch < 1:
+            raise ValueError(f"--stage-batches: batch {batch} < 1 at {item}")
+        step = (res // 4).bit_length()  # 4 -> 1, 8 -> 2, ...
+        if res != 4 * 2 ** (step - 1) or not (1 <= step <= max_step):
+            raise ValueError(
+                f"--stage-batches: resolution {res} is not a stage of this "
+                f"4..{4 * 2 ** (max_step - 1)}px schedule")
+        if step < init_step:
+            continue  # stage never trained from this init_step
+        out[step] = batch
+    return out or None
+
+
 def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     """ADA pipeline flags — shared by every training CLI (the reference
     shipped the pipeline but never wired it; SURVEY.md section 2.4)."""

@@ -11,7 +11,8 @@ from __future__ import annotations
 import argparse
 
 from pgx.cli.common import ada_configs_from_args, add_ada_args, \
-    add_common_args, get_dataset, maybe_init_multihost
+    add_common_args, add_stage_batch_arg, get_dataset, \
+    maybe_init_multihost, parse_stage_batches
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -26,6 +27,7 @@ def main(argv=None):
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
     p.add_argument("--ada-heads", action="store_true")
+    add_stage_batch_arg(p)
     add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
@@ -61,7 +63,10 @@ def main(argv=None):
                      remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
-                              args.max_step, args.init_step)
+                              args.max_step, args.init_step,
+                              stage_batches=parse_stage_batches(
+                                  args.stage_batches, args.max_step,
+                                  args.init_step))
     dataset = get_dataset(args, "cifar10", num_classes=args.num_classes)
 
     loop_cfg = LoopConfig(

@@ -9,7 +9,9 @@ import functools
 
 import numpy as np
 
-from pgx.cli.common import add_ada_args, add_common_args, ada_configs_from_args, maybe_init_multihost
+from pgx.cli.common import add_ada_args, add_common_args, \
+    ada_configs_from_args, add_stage_batch_arg, maybe_init_multihost, \
+    parse_stage_batches
 from pgx.data import WikiArtDataset, synthetic_dataset
 from pgx.data.pipeline import (array_batches, normalize_to_unit,
                                ordered_map_pool)
@@ -53,6 +55,7 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=14)
     p.add_argument("--images-per-mini-step", type=int, default=800000)
     p.add_argument("--equal-embed", action="store_true")
+    add_stage_batch_arg(p)
     add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
@@ -79,7 +82,10 @@ def main(argv=None):
                      remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
-                              args.max_step, args.init_step)
+                              args.max_step, args.init_step,
+                              stage_batches=parse_stage_batches(
+                                  args.stage_batches, args.max_step,
+                                  args.init_step))
 
     if args.synthetic or args.csv is None:
         dataset = synthetic_dataset(n=max(4 * args.batch_size, 256),

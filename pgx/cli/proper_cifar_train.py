@@ -7,8 +7,8 @@ from __future__ import annotations
 import argparse
 
 from pgx.cli.common import add_ada_args, ada_configs_from_args, \
-    add_common_args, get_dataset, \
-    maybe_init_multihost
+    add_common_args, add_stage_batch_arg, get_dataset, \
+    maybe_init_multihost, parse_stage_batches
 from pgx.models import zoo
 from pgx.train import ProperSchedule, TrainConfig
 from pgx.train.loop import LoopConfig, train_loop
@@ -20,6 +20,7 @@ def main(argv=None):
                                      channels=512, max_step=4, tanh=False,
                                      checkpoint_every=2000))
     p.add_argument("--images-per-mini-step", type=int, default=800000)
+    add_stage_batch_arg(p)
     add_ada_args(p)
     args = p.parse_args(argv)
     maybe_init_multihost(args)
@@ -35,7 +36,10 @@ def main(argv=None):
                      remat=args.remat,
                      remat_policy=args.remat_policy)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
-                              args.max_step, args.init_step)
+                              args.max_step, args.init_step,
+                              stage_batches=parse_stage_batches(
+                                  args.stage_batches, args.max_step,
+                                  args.init_step))
     dataset = get_dataset(args, "cifar10")
 
     loop_cfg = LoopConfig(

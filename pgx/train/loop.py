@@ -176,6 +176,26 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     """Run training; returns the trial directory path.  ``augment_cfg`` /
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
+
+    # per-stage batch sizes (ProperSchedule.stage_batches): the schedule
+    # prescribes the data batch for each growth stage; unlisted stages (and
+    # schedules without the capability) use loop_cfg.batch_size.  The mesh
+    # must evenly shard EVERY stage's batch, so it is sized for their gcd.
+    _batch_hook = getattr(schedule, "batch_for_step", None)
+
+    def stage_batch_for(step: int) -> int:
+        b = _batch_hook(step) if _batch_hook is not None else None
+        return int(b) if b else loop_cfg.batch_size
+
+    import math
+    stage_batches = sorted({
+        stage_batch_for(s)
+        for s in range(getattr(schedule, "init_step", 1),
+                       getattr(schedule, "max_step", 1) + 1)})
+    mesh_batch = stage_batches[0]
+    for b in stage_batches[1:]:
+        mesh_batch = math.gcd(mesh_batch, b)
+
     if not loop_cfg.use_mesh:
         mesh = None
         if loop_cfg.model_parallel > 1:
@@ -186,10 +206,10 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 f"unknown model_parallel_mode "
                 f"{loop_cfg.model_parallel_mode!r} (channels|spatial)")
         from pgx.parallel.tp import make_mesh_2d_for_batch
-        mesh = make_mesh_2d_for_batch(loop_cfg.batch_size,
+        mesh = make_mesh_2d_for_batch(mesh_batch,
                                       loop_cfg.model_parallel)
     else:
-        mesh = make_mesh_for_batch(loop_cfg.batch_size)
+        mesh = make_mesh_for_batch(mesh_batch)
 
     # multi-host (DCN): loop_cfg.batch_size is the GLOBAL batch; each
     # process assembles its slice (distinct data via a per-host seed
@@ -198,14 +218,18 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     # pgx.parallel.initialize_multihost before train_loop to enable.
     n_hosts = jax.process_count()
     is_main = jax.process_index() == 0
-    host_batch = loop_cfg.batch_size
     host_seed = loop_cfg.seed
     if n_hosts > 1:
         if mesh is None:
             raise ValueError("multi-host training requires use_mesh=True")
-        from pgx.parallel.distributed import host_batch_slice
-        host_batch, _, _ = host_batch_slice(loop_cfg.batch_size)
         host_seed = loop_cfg.seed + 104729 * jax.process_index()
+
+    def host_batch_for(global_batch: int) -> int:
+        """This process's share of a (per-stage) global batch."""
+        if n_hosts > 1:
+            from pgx.parallel.distributed import host_batch_slice
+            return host_batch_slice(global_batch)[0]
+        return global_batch
 
     key = jax.random.PRNGKey(loop_cfg.seed)
     state = init_train_state(key, gcfg, dcfg, tc)
@@ -378,7 +402,9 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     current_res = None
     sums: Dict[str, Any] = {}
     count = 0
+    img_count = 0
     gp_count = 0
+    cur_batch = loop_cfg.batch_size
     t_log = time.time()
 
     conditional = gcfg.conditioning != "none"
@@ -432,9 +458,10 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     if use_spatial_sharding(st.resolution,
                                             loop_cfg.model_parallel):
                         img_sh = spatial_batch_sharding(mesh)
+                cur_batch = stage_batch_for(st.step)
                 prefetcher = DevicePrefetcher(
-                    batch_fn(dataset, host_batch, st.resolution,
-                             seed=host_seed + st.step), mesh,
+                    batch_fn(dataset, host_batch_for(cur_batch),
+                             st.resolution, seed=host_seed + st.step), mesh,
                     image_sharding=img_sh)
                 current_res = st.resolution
                 measure.clear()
@@ -509,6 +536,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 gp_count += int(apply_gp)
 
             count += w
+            img_count += w * cur_batch
             sums = (metrics if not sums else
                     jax.tree.map(lambda a, b: a + b, sums, metrics))
 
@@ -565,7 +593,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                     vals["grad_penalty"] = (
                         float(sums["grad_penalty"]) / max(gp_count, 1))
                 dt = time.time() - t_log
-                ips = count * loop_cfg.batch_size / max(dt, 1e-9)
+                ips = img_count / max(dt, 1e-9)
                 msg = (f"{it}; G: {vals.get('g_loss', 0):.3f}; "
                        f"D: {vals.get('d_loss', 0):.3f}; "
                        f"Grad: {vals.get('grad_penalty', 0):.3f}; "
@@ -585,6 +613,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                    f"{vals.get('ada_r', 0):.5f}"
                                    if log_ada else "") + "\n")
                 sums, count, gp_count, t_log = {}, 0, 0, time.time()
+                img_count = 0
 
             if "on_iteration" in hooks:
                 hooks["on_iteration"](i, st, state, metrics)

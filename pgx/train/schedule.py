@@ -64,41 +64,78 @@ class LegacySchedule:
 
 
 class ProperSchedule:
+    """Images-seen scheduler, optionally with per-stage batch sizes.
+
+    ``stage_batches`` maps step -> batch size for that growth stage (Karras
+    et al. trained with large minibatches at low resolutions, shrinking as
+    the resolution grows; the reference uses one fixed batch).  Because the
+    schedule is images-seen, a bigger batch at a stage means *fewer
+    iterations* over the same data budget — pure wall-clock win where the
+    chip is dispatch-bound.  Unlisted stages use ``batch_size``.  The
+    training math per iteration is unchanged (the reference's loop is
+    batch-size-agnostic); only the data budget's division into iterations
+    moves, exactly as if the reference had been launched with that batch.
+    """
+
     def __init__(self, images_seen_per_mini_step: int, batch_size: int,
-                 max_step: int, init_step: int = 1):
+                 max_step: int, init_step: int = 1,
+                 stage_batches: dict = None):
         assert max_step >= 1 and init_step >= 1
+        self.images = images_seen_per_mini_step
+        self.batch_size = batch_size
+        self.stage_batches = (
+            {int(k): int(v) for k, v in stage_batches.items()}
+            if stage_batches else None)
         self.ips = images_seen_per_mini_step // batch_size
         assert self.ips >= 1, (
             f"images_seen_per_mini_step={images_seen_per_mini_step} must be "
             f">= batch_size={batch_size}")
         self.max_step = max_step
         self.init_step = init_step
+        # per-stage iteration spans (stage 1 = one mini-step, later stages
+        # two: fade + stabilize, proper_cifar_train.py:165-180) and their
+        # cumulative start offsets
+        self._stage_ips = {}
+        self._starts = {}
+        start = 0
+        for s in range(init_step, max_step + 1):
+            b = (self.stage_batches or {}).get(s, batch_size)
+            ips_s = images_seen_per_mini_step // b
+            assert ips_s >= 1, (
+                f"stage {s}: images_seen_per_mini_step="
+                f"{images_seen_per_mini_step} must be >= its batch size {b}")
+            self._stage_ips[s] = ips_s
+            self._starts[s] = start
+            start += ips_s if s == 1 else 2 * ips_s
+        self._end = start
+
+    def batch_for_step(self, step: int):
+        """The data batch size at ``step``, or None when this schedule does
+        not prescribe batches (plain fixed-batch operation: the loop's own
+        batch_size applies)."""
+        if not self.stage_batches:
+            return None
+        s = min(max(step, self.init_step), self.max_step)
+        return self.stage_batches.get(s, self.batch_size)
 
     def state_at(self, i: int) -> ScheduleState:
-        ips = self.ips
-        if self.init_step == 1:
-            if i < ips:
-                step, j = 1, i
-            else:
-                step = 2 + (i - ips) // (2 * ips)
-                j = (i - ips) % (2 * ips)
-        else:
-            step = self.init_step + i // (2 * ips)
-            j = i % (2 * ips)
-        if step > self.max_step:
+        if i >= self._end:
             return ScheduleState(self.max_step, 1.0, False,
                                  4 * 2 ** (self.max_step - 1), True)
-        alpha = min(1.0, j / ips)
+        step = self.max_step
+        for s in range(self.init_step, self.max_step + 1):
+            span = self._stage_ips[s] * (1 if s == 1 else 2)
+            if i < self._starts[s] + span:
+                step = s
+                break
+        j = i - self._starts[step]
+        alpha = min(1.0, j / self._stage_ips[step])
         # step 1 has no fade target (4x4 is the first head).
         fading = alpha < 1.0 and step > 1
         return ScheduleState(step, alpha, fading, 4 * 2 ** (step - 1), False)
 
     def total_iterations(self, tail: int = 0) -> int:
-        if self.init_step == 1:
-            total = self.ips + 2 * self.ips * (self.max_step - 1)
-        else:
-            total = 2 * self.ips * (self.max_step - self.init_step + 1)
-        return total + tail
+        return self._end + tail
 
 
 def schedule_to_dict(schedule) -> dict:
@@ -109,6 +146,14 @@ def schedule_to_dict(schedule) -> dict:
                 "max_step": schedule.max_step,
                 "init_step": schedule.init_step}
     if isinstance(schedule, ProperSchedule):
+        if schedule.stage_batches:
+            return {"kind": "proper",
+                    "images_seen_per_mini_step": schedule.images,
+                    "batch_size": schedule.batch_size,
+                    "stage_batches": {str(k): v for k, v
+                                      in schedule.stage_batches.items()},
+                    "max_step": schedule.max_step,
+                    "init_step": schedule.init_step}
         return {"kind": "proper",
                 "images_seen_per_mini_step": schedule.ips,
                 "batch_size": 1,  # ips already divided
@@ -123,5 +168,6 @@ def schedule_from_dict(d: dict):
     if d["kind"] == "proper":
         return ProperSchedule(d["images_seen_per_mini_step"],
                               d.get("batch_size", 1), d["max_step"],
-                              d["init_step"])
+                              d["init_step"],
+                              stage_batches=d.get("stage_batches"))
     raise ValueError(d["kind"])

@@ -56,6 +56,58 @@ def test_training_loop_end_to_end(tmp_path):
     assert ckpt.latest_checkpoint(trial_dir, "d") is not None
 
 
+def test_stage_batch_schedule_end_to_end(tmp_path):
+    """Per-stage batch sizes (ProperSchedule.stage_batches): the loop feeds
+    each stage its own batch, the mesh is sized for the gcd (32/16/8 on the
+    8-device CPU mesh -> all 8 devices), events fire, and a mid-run resume
+    continues under the same per-stage batches (schedule JSON roundtrip)."""
+    from pgx.train import ProperSchedule
+    gcfg = zoo.correct_generator(z_dim=8, channel=8, max_step=3)
+    dcfg = zoo.correct_discriminator(feat_dim=8, max_step=3)
+    schedule = ProperSchedule(96, 8, max_step=3,
+                              stage_batches={1: 32, 2: 16, 3: 8})
+    # spans: stage1 96/32=3, stage2 2*6=12, stage3 2*12=24 -> 39 iterations
+    assert schedule.total_iterations() == 39
+    dataset = synthetic_dataset(n=64, size=16, channels=3, seed=0)
+    loop_cfg = LoopConfig(trial_name="stageb", main_path=str(tmp_path),
+                          batch_size=8, sample_every=10, checkpoint_every=10,
+                          log_every=5, verbose=False)
+    trial_dir = train_loop(gcfg, dcfg, TrainConfig(), schedule, dataset,
+                           loop_cfg)
+
+    lines = _log_lines(trial_dir)
+    assert lines, "no log rows written"
+    vals = np.asarray([l.split(",")[1:3] for l in lines], np.float32)
+    assert np.isfinite(vals).all()
+
+    def final_iteration(tdir):
+        from flax.serialization import msgpack_restore
+        path = os.path.join(tdir, "checkpoint", "039_state.msgpack")
+        with open(path, "rb") as f:
+            return int(msgpack_restore(f.read())["iteration"])
+
+    assert final_iteration(trial_dir) == 39
+
+    # resume from the iteration-10 checkpoint: runs the remaining stages
+    # with their own batches through to the same total
+    import shutil
+    resumed = os.path.join(str(tmp_path), "trial_resumed")
+    shutil.copytree(trial_dir, resumed)
+    for f in os.listdir(os.path.join(resumed, "checkpoint")):
+        if not f.startswith("010_"):
+            os.remove(os.path.join(resumed, "checkpoint", f))
+    trial2 = train_loop(gcfg, dcfg, TrainConfig(), schedule, dataset,
+                        loop_cfg, resume_dir=resumed)
+    assert final_iteration(trial2) == 39
+
+
+def _log_lines(trial_dir):
+    log = [f for f in os.listdir(trial_dir) if f.startswith("train_log")]
+    assert log
+    path = os.path.join(trial_dir, log[0])
+    return open(path).read().strip().splitlines()[1:]
+
+
 def test_resume_from_full_state(tmp_path):
     gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
     loop_cfg.total_iterations = 12

@@ -83,6 +83,73 @@ def test_proper_total_iterations():
     assert sched2.total_iterations() == 3 * 400
 
 
+def simulate_proper_stage_batches(images, batches, max_step, init_step=1):
+    """Straightforward simulation with per-stage batches: stage s consumes
+    `images` images per mini-step at batch batches[s] (1 mini-step at stage
+    1, fade+stabilize = 2 after); alpha ramps over the fade mini-step."""
+    states = []
+    for s in range(init_step, max_step + 1):
+        ips = images // batches[s]
+        minis = 1 if s == 1 else 2
+        for j in range(minis * ips):
+            states.append((s, min(1.0, j / ips), batches[s]))
+    return states
+
+
+@pytest.mark.parametrize("init_step", [1, 2])
+def test_proper_schedule_stage_batches(init_step):
+    images, max_step = 240, 4
+    batches = {1: 80, 2: 40, 3: 24, 4: 8}
+    sched = ProperSchedule(images, 8, max_step, init_step,
+                           stage_batches=batches)
+    sim = simulate_proper_stage_batches(images, batches, max_step, init_step)
+    assert sched.total_iterations() == len(sim)
+    for i, (step, alpha, batch) in enumerate(sim):
+        st = sched.state_at(i)
+        assert (st.step, st.resolution) == (step, 4 * 2 ** (step - 1)), i
+        assert abs(st.alpha - alpha) < 1e-12, i
+        assert st.fading == (alpha < 1.0 and step > 1), i
+        assert sched.batch_for_step(step) == batch
+    # past the end: final state, alpha pinned, batch clamps to max_step's
+    end = sched.state_at(len(sim))
+    assert end.final and end.alpha == 1.0 and end.step == max_step
+    assert sched.batch_for_step(max_step + 3) == batches[max_step]
+    # the fixed-batch schedule prescribes nothing (loop batch_size rules)
+    assert ProperSchedule(240, 8, 4).batch_for_step(2) is None
+
+
+def test_proper_stage_batches_dict_roundtrip():
+    from pgx.train.schedule import schedule_from_dict, schedule_to_dict
+    sched = ProperSchedule(240, 8, 4, 1, stage_batches={1: 80, 3: 24})
+    d = schedule_to_dict(sched)
+    back = schedule_from_dict(d)
+    assert back.total_iterations() == sched.total_iterations()
+    for i in range(0, sched.total_iterations() + 5, 3):
+        assert back.state_at(i) == sched.state_at(i)
+    for s in range(1, 5):
+        assert back.batch_for_step(s) == sched.batch_for_step(s)
+    # fixed-batch serialization unchanged (old trials keep resuming)
+    d2 = schedule_to_dict(ProperSchedule(240, 8, 4))
+    assert d2["batch_size"] == 1 and "stage_batches" not in d2
+    assert schedule_from_dict(d2).state_at(7) == \
+        ProperSchedule(240, 8, 4).state_at(7)
+
+
+def test_parse_stage_batches():
+    from pgx.cli.common import parse_stage_batches
+    assert parse_stage_batches(None, 4) is None
+    assert parse_stage_batches("4:512,8:256,16:128", 4) == \
+        {1: 512, 2: 256, 3: 128}
+    # below init_step: dropped (stage never trained)
+    assert parse_stage_batches("4:512,16:128", 4, init_step=2) == {3: 128}
+    with pytest.raises(ValueError):
+        parse_stage_batches("6:32", 4)          # not a stage resolution
+    with pytest.raises(ValueError):
+        parse_stage_batches("64:32", 3)         # past max_step
+    with pytest.raises(ValueError):
+        parse_stage_batches("4:0", 4)           # bad batch
+
+
 def test_legacy_resume_is_pure():
     sched = LegacySchedule(90000, 3, 1)
     # arbitrary resume point re-derives identical state (SURVEY section 5.4)
