@@ -36,6 +36,12 @@ def main(argv=None):
     p.add_argument("--inception-weights", default=None,
                    help="torch state_dict file for the FID InceptionV3; "
                         "random init if absent (pipeline testing only)")
+    p.add_argument("--kid", action="store_true",
+                   help="also score the Kernel Inception Distance (unbiased "
+                        "MMD^2 with error bars; pgx.eval.kid) into an "
+                        "incremental kid_score.json")
+    p.add_argument("--kid-subset-size", type=int, default=1000)
+    p.add_argument("--kid-subsets", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -72,7 +78,9 @@ def main(argv=None):
 
     scores = sweep_trial(args.trial, schedule, real,
                          num_samples=args.num_samples,
-                         batch_size=args.batch_size, extractor=extractor)
+                         batch_size=args.batch_size, extractor=extractor,
+                         kid=args.kid, kid_subset_size=args.kid_subset_size,
+                         kid_subsets=args.kid_subsets)
     best = min(scores.items(), key=lambda kv: kv[1]) if scores else None
     if best:
         print(f"best: {best[0]} FID={best[1]:.2f}")

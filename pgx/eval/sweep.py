@@ -22,23 +22,42 @@ import jax.numpy as jnp
 
 from pgx import checkpoint as ckpt
 from pgx.eval.fid import (calculate_activation_statistics,
-                          calculate_frechet_distance, make_extractor)
+                          calculate_frechet_distance, get_activations,
+                          make_extractor)
 from pgx.train.wgan import make_eval_generate
 
 
-def load_fid_scores(trial_dir: str) -> dict:
-    path = os.path.join(trial_dir, "fid_score.json")
+def _load_scores(trial_dir: str, filename: str) -> dict:
+    path = os.path.join(trial_dir, filename)
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
     return {}
 
 
-def append_fid_score(trial_dir: str, name: str, score: float) -> None:
-    scores = load_fid_scores(trial_dir)
+def _append_score(trial_dir: str, filename: str, name: str, score) -> None:
+    scores = _load_scores(trial_dir, filename)
     scores[name] = score
-    with open(os.path.join(trial_dir, "fid_score.json"), "w") as f:
+    with open(os.path.join(trial_dir, filename), "w") as f:
         json.dump(scores, f, indent=2)
+
+
+def load_fid_scores(trial_dir: str) -> dict:
+    return _load_scores(trial_dir, "fid_score.json")
+
+
+def append_fid_score(trial_dir: str, name: str, score: float) -> None:
+    _append_score(trial_dir, "fid_score.json", name, score)
+
+
+def load_kid_scores(trial_dir: str) -> dict:
+    """Incremental kid_score.json: {ckpt: [mean, std]} (pgx.eval.kid)."""
+    return _load_scores(trial_dir, "kid_score.json")
+
+
+def append_kid_score(trial_dir: str, name: str, mean: float,
+                     std: float) -> None:
+    _append_score(trial_dir, "kid_score.json", name, [mean, std])
 
 
 def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
@@ -74,19 +93,27 @@ def generate_samples(params, gcfg, *, step: int, alpha: float, fading: bool,
 def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
                 num_samples: int = 2000, batch_size: int = 50,
                 extractor: Optional[Callable] = None,
-                verbose: bool = True) -> dict:
-    """Score every unscored G checkpoint in a trial dir against real_data."""
+                verbose: bool = True, kid: bool = False,
+                kid_subset_size: int = 1000,
+                kid_subsets: int = 100) -> dict:
+    """Score every unscored G checkpoint in a trial dir against real_data.
+
+    ``kid=True`` additionally scores the Kernel Inception Distance
+    (pgx.eval.kid) from the same activations into an incremental
+    ``kid_score.json`` — checkpoints already FID-scored get their missing
+    KID filled in without regenerating FID."""
     cfg = ckpt.load_config(trial_dir)
     gcfg, _, _ = ckpt.configs_from_dict(cfg)
     if extractor is None:
         extractor = make_extractor()
 
-    mu_r, sig_r = calculate_activation_statistics(real_data, extractor,
-                                                  batch_size)
+    real_acts = get_activations(real_data, extractor, batch_size)
+    mu_r, sig_r = np.mean(real_acts, axis=0), np.cov(real_acts, rowvar=False)
     scores = load_fid_scores(trial_dir)
+    kid_scores = load_kid_scores(trial_dir) if kid else {}
     for path in ckpt.list_checkpoints(trial_dir, "g"):
         name = os.path.basename(path)
-        if name in scores:
+        if name in scores and (not kid or name in kid_scores):
             continue
         iteration = ckpt.checkpoint_iteration(path)
         st = schedule.state_at(max(iteration - 1, 0))
@@ -96,14 +123,25 @@ def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
             num_samples=num_samples, batch_size=batch_size,
             num_classes=gcfg.num_classes if gcfg.conditioning != "none"
             else 0)
-        mu_g, sig_g = calculate_activation_statistics(samples, extractor,
-                                                      batch_size)
-        fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
-        scores[name] = fid
-        append_fid_score(trial_dir, name, fid)
+        gen_acts = get_activations(samples, extractor, batch_size)
+        msg = f"{name}: step={st.step} alpha={st.alpha:.2f}"
+        if name not in scores:
+            mu_g, sig_g = (np.mean(gen_acts, axis=0),
+                           np.cov(gen_acts, rowvar=False))
+            fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
+            scores[name] = fid
+            append_fid_score(trial_dir, name, fid)
+            msg += f" FID={fid:.2f}"
+        if kid and name not in kid_scores:
+            from pgx.eval.kid import kid_from_activations
+            k_mean, k_std = kid_from_activations(
+                real_acts, gen_acts, subset_size=kid_subset_size,
+                num_subsets=kid_subsets)
+            kid_scores[name] = [k_mean, k_std]
+            append_kid_score(trial_dir, name, k_mean, k_std)
+            msg += f" KID={k_mean:.5f}+-{k_std:.5f}"
         if verbose:
-            print(f"{name}: step={st.step} alpha={st.alpha:.2f} "
-                  f"FID={fid:.2f}", flush=True)
+            print(msg, flush=True)
     return scores
 
 
