@@ -104,6 +104,51 @@ def test_two_process_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_stage_batches(tmp_path):
+    """Per-stage batch sizes under real 2-process SPMD: global batches
+    32 -> 16 across the growth switch (per-host 16 -> 8), mesh sized for
+    the gcd; both processes agree on every stage's shapes."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        argv = [
+            sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+            "--cli", "proper", "--synthetic", "--multihost",
+            "--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--batch-size", "16", "--channels", "8", "--z-dim", "8",
+            "--images-per-mini-step", "128", "--max-step", "2",
+            "--stage-batches", "4:32",
+            "--sample-every", "8", "--checkpoint-every", "20",
+            "--log-every", "4", "--steps-per-call", "4",
+            "--output", str(tmp_path),
+        ]
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+
+    trials = [d for d in os.listdir(tmp_path) if d.startswith("trial_")]
+    assert len(trials) == 1, trials
+    trial = os.path.join(tmp_path, trials[0])
+    # schedule: stage1 = 128/32 = 4 iters, stage2 = 2*128/16 = 16 -> 20
+    ckpts = os.listdir(os.path.join(trial, "checkpoint"))
+    assert any(n.startswith("020_") for n in ckpts), ckpts
+    import json
+    cfg_file = [n for n in os.listdir(trial)
+                if n.startswith("train_config")][0]
+    with open(os.path.join(trial, cfg_file)) as f:
+        sched = json.load(f)["schedule"]
+    assert sched["stage_batches"] == {"1": 32}
+
+
+@pytest.mark.slow
 def test_two_process_spatial(tmp_path):
     """Spatial model parallelism across hosts: a (data=4, model=2) mesh
     over 2 processes x 4 devices with images H-sharded over the
