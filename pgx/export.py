@@ -176,6 +176,8 @@ class ExportedGenerator:
         z = np.asarray(z, np.float32)
         if z.ndim != 2 or z.shape[1] != self.z_dim:
             raise ValueError(f"z must be (n, {self.z_dim}), got {z.shape}")
+        if len(z) == 0:
+            raise ValueError("z must contain at least one latent")
         if self.conditional:
             if labels is None:
                 raise ValueError("conditional export needs labels")

@@ -322,7 +322,13 @@ class GeneratorService:
             return
         # hand the async device result to the fetch pool; the batcher is
         # immediately free to coalesce + dispatch the next batch
-        self._resolver.submit(self._resolve, out, batch, total, t0)
+        try:
+            self._resolver.submit(self._resolve, out, batch, total, t0)
+        except RuntimeError:
+            # close() abandoned the join (e.g. this batch sat in a long
+            # first-use compile) and shut the fetch pool: resolve inline
+            # so these futures still complete instead of hanging forever
+            self._resolve(out, batch, total, t0)
 
     def _resolve(self, out, batch, total: int, t0: float) -> None:
         try:
@@ -354,10 +360,25 @@ class GeneratorService:
         uint8 in [0, 255] by default, float32 in [-1, 1] with
         ``output='float'``."""
         z = np.asarray(z, np.float32)
+        # validate per-request: one malformed request must fail alone, not
+        # poison the coalesced batch it would ride in (and odd z shapes
+        # would mint extra compiled executables past the bucket set)
+        if z.ndim != 2 or z.shape[1] != self.gcfg.z_dim:
+            raise ValueError(
+                f"z must be (n, {self.gcfg.z_dim}), got {z.shape}")
+        if z.shape[0] < 1:
+            raise ValueError("z must contain at least one latent")
         if self.conditional:
             if labels is None:
                 raise ValueError("conditional model requires labels")
             labels = np.asarray(labels, np.int32)
+            if labels.shape != (z.shape[0],):
+                raise ValueError(f"labels must have shape ({z.shape[0]},), "
+                                 f"got {labels.shape}")
+            if labels.size and (labels.min() < 0
+                                or labels.max() >= self.gcfg.num_classes):
+                raise ValueError(
+                    f"labels must be in [0, {self.gcfg.num_classes})")
         fut = Future()
         # the closed-check and the put must be atomic with close() (which
         # flips _closed and enqueues the sentinel under the same lock) —
@@ -495,6 +516,9 @@ def make_http_server(service: GeneratorService, host: str = "127.0.0.1",
                 q = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 return self._json({"error": "bad JSON body"}, 400)
+            if not isinstance(q, dict):
+                return self._json({"error": "JSON body must be an object"},
+                                  400)
             self._generate(q)
 
         def _generate(self, q: dict):
@@ -508,6 +532,12 @@ def make_http_server(service: GeneratorService, host: str = "127.0.0.1",
                 # return_labels: the service may draw/derive the labels
                 # itself (class= or random), so the npz must carry the
                 # ones actually used, not the raw query value
+                fmt = str(q.get("format", "png"))
+                if fmt not in ("png", "npz"):
+                    raise ValueError(f"unknown format {fmt!r}")
+                nrow = int(q.get("nrow", min(num, 10)))
+                if nrow < 1:
+                    raise ValueError("nrow must be >= 1")
                 images, labels = service.generate_images(
                     num, labels=labels,
                     class_id=q.get("class"),
@@ -515,11 +545,9 @@ def make_http_server(service: GeneratorService, host: str = "127.0.0.1",
                     return_labels=True)
             except Exception as exc:
                 return self._json({"error": str(exc)}, 400)
-            fmt = q.get("format", "png")
             if fmt == "npz":
                 return self._bytes(_npz_bytes(images, labels),
                                    "application/octet-stream")
-            nrow = int(q.get("nrow", min(num, 10)))
             return self._bytes(encode_png(make_grid(images, nrow=nrow)),
                                "image/png")
 

@@ -410,6 +410,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     conditional = gcfg.conditioning != "none"
     auto_scan = loop_cfg.steps_per_call == 0
     scan_k = max(1, int(loop_cfg.steps_per_call))
+    if scan_k > 1 and scan_k % tc.gp_every != 0:
+        # _scan_window only fuses gp_every-aligned windows; a misaligned
+        # request would silently degrade to single-step dispatch forever.
+        # Round to the nearest multiple so the feature still engages.
+        adj = max(tc.gp_every, round(scan_k / tc.gp_every) * tc.gp_every)
+        print(f"steps_per_call={scan_k} is not a multiple of "
+              f"gp_every={tc.gp_every}; using {adj}")
+        scan_k = adj
     can_scan = ((scan_k > 1 or auto_scan) and tc.n_critic == 1
                 and "on_iteration" not in hooks)
     stage_k: Dict[int, int] = {}    # auto mode: chosen window per stage

@@ -269,6 +269,29 @@ def test_steps_per_call_matches_single_dispatch(tmp_path):
         a, b, rtol=2e-5, atol=1e-6), d1, d2)
 
 
+def test_steps_per_call_gp_every_misaligned(tmp_path, capsys):
+    """steps_per_call that is not a multiple of gp_every must not silently
+    degrade to single-step dispatch forever: the loop rounds it to the
+    nearest gp_every multiple (and says so), and the stream still matches
+    the single-dispatch run exactly."""
+    import dataclasses
+    import jax
+
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    tc = dataclasses.replace(tc, gp_every=2)
+    t1 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    loop_cfg2 = dataclasses.replace(loop_cfg, trial_name="smoke_mis",
+                                    steps_per_call=5)
+    t2 = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg2)
+    assert "not a multiple of gp_every=2; using 4" in capsys.readouterr().out
+
+    g1 = ckpt.load_params(ckpt.latest_checkpoint(t1, "g"))
+    g2 = ckpt.load_params(ckpt.latest_checkpoint(t2, "g"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), g1, g2)
+
+
 def test_in_training_fid_gate(tmp_path):
     """--fid-every scores the EMA generator during the run: fid_score.json
     appears with entries under the sweep's {iter}_g.model keys, finite, at

@@ -126,6 +126,13 @@ def test_uint8_output_matches_png_path(exported, tiny_trial):
     np.testing.assert_array_equal(u8, to_uint8(f))
 
 
+def test_empty_z_rejected(exported):
+    from pgx.export import load_exported
+    gen = load_exported(exported[0])
+    with pytest.raises(ValueError, match="at least one"):
+        gen.generate(np.zeros((0, gen.z_dim), np.float32))
+
+
 def test_sample_api(exported):
     from pgx.export import load_exported
     gen = load_exported(exported[0])

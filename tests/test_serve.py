@@ -131,6 +131,32 @@ def test_conditional_requires_labels(tiny_trial):
         svc.close()
 
 
+def test_submit_validates_request_shapes(tiny_trial):
+    """A malformed request must fail at submit() — alone — not ride into a
+    coalesced batch where its trace-time error would fail every concurrent
+    client's future (and odd z widths would mint executables outside the
+    power-of-two bucket set)."""
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="z must"):
+            svc.submit(np.zeros((2, 5), np.float32), np.array([0, 1]))
+        with pytest.raises(ValueError, match="z must"):
+            svc.submit(np.zeros((8,), np.float32), np.array([0]))
+        with pytest.raises(ValueError, match="at least one"):
+            svc.submit(np.zeros((0, 8), np.float32),
+                       np.zeros(0, np.int32))
+        with pytest.raises(ValueError, match="labels"):
+            svc.submit(np.zeros((2, 8), np.float32), np.array([0]))
+        with pytest.raises(ValueError, match="labels"):
+            svc.submit(np.zeros((2, 8), np.float32), np.array([0, 99]))
+        # a well-formed request still succeeds after the rejects
+        out = svc.submit(np.zeros((2, 8), np.float32),
+                         np.array([0, 1])).result(timeout=120)
+        assert out.shape[0] == 2
+    finally:
+        svc.close()
+
+
 def test_batcher_never_exceeds_max_batch(tiny_trial):
     """Coalescing stops BEFORE overflowing max_batch: two size-3 requests
     with max_batch=4 must run as two device batches (a batch of 6 would
@@ -155,6 +181,22 @@ def test_submit_after_close_fails_fast(tiny_trial):
     svc.close()
     with pytest.raises(RuntimeError, match="closed"):
         svc.submit(np.zeros((1, 8), np.float32), np.array([0]))
+
+
+def test_batch_resolves_inline_after_resolver_shutdown(tiny_trial):
+    """If close() abandons the batcher join (first-use compiles routinely
+    exceed the 10s timeout) and shuts the fetch pool, a batch the batcher
+    dispatches afterwards must still resolve — inline — instead of dying
+    on 'cannot schedule new futures' and hanging its clients forever."""
+    svc = GeneratorService(tiny_trial, max_batch=4, max_wait_ms=1.0)
+    try:
+        svc.warmup(sizes=(1,))
+        svc._resolver.shutdown(wait=True)   # simulate the close() race
+        out = svc.submit(np.zeros((1, 8), np.float32),
+                         np.array([0])).result(timeout=120)
+        assert out.shape[0] == 1
+    finally:
+        svc.close()
 
 
 def test_hot_reload(tiny_trial):
@@ -261,6 +303,29 @@ def test_http_endpoints(http_service):
     assert status == 400 and b"error" in body
     status, _, _ = _get(port, "/nope")
     assert status == 404
+
+
+def test_http_bad_inputs_return_400(http_service):
+    """Malformed client input must come back as a JSON 400, never an
+    unhandled handler exception (which closes the connection with no
+    HTTP response at all)."""
+    port, _ = http_service
+    for path in ("/generate?num=2&nrow=abc",
+                 "/generate?num=2&nrow=0",
+                 "/generate?num=2&format=bmp",
+                 "/generate?num=2&seed=notanint",
+                 "/generate?num=notanint"):
+        status, _, body = _get(port, path)
+        assert status == 400 and b"error" in body, path
+
+    # POST body that parses as JSON but isn't an object
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/generate", json.dumps([1, 2]),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = r.read()
+    conn.close()
+    assert r.status == 400 and b"error" in body
 
 
 def test_http_concurrent_requests_batch(http_service):
