@@ -85,6 +85,16 @@ def make_mesh_2d_for_batch(batch_size: int, n_model: int,
     n_data = len(devices) // n_model
     while n_data > 1 and batch_size % n_data:
         n_data -= 1
+    if n_data * n_model < len(devices) and jax.process_count() > 1:
+        # dropping devices in a multi-host run can exclude another host's
+        # chips entirely; every process must enter every jitted step
+        # (pgx/train/loop.py), so that hangs/crashes instead of training —
+        # refuse loudly rather than warn
+        raise ValueError(
+            f"batch_size={batch_size} is not divisible by "
+            f"{len(devices)}//{n_model} data shards; a multi-host run "
+            f"cannot drop devices — raise batch_size to a multiple of "
+            f"{len(devices) // n_model}")
     if n_data * n_model < len(devices):
         warnings.warn(
             f"batch_size={batch_size} is not divisible by "

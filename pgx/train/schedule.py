@@ -41,6 +41,11 @@ class ScheduleState:
 class LegacySchedule:
     def __init__(self, total_iter: int, max_step: int, init_step: int = 1):
         assert max_step >= 1 and init_step >= 1
+        if total_iter < max_step:
+            raise ValueError(
+                f"total_iter={total_iter} must be >= max_step={max_step}: "
+                f"the reference's split gives each stage total_iter//"
+                f"max_step iterations, which must be at least 1")
         self.total_iter = total_iter
         self.max_step = max_step
         self.init_step = init_step

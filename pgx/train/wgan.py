@@ -89,6 +89,18 @@ class TrainConfig:
     #             double-backward path, where activation memory actually
     #             explodes); G keeps its residuals
 
+    def __post_init__(self):
+        # argparse choices guard the CLIs; programmatic construction (tests,
+        # benchmarks, notebooks) must not silently fall into another branch
+        if self.gp_mode not in ("reverse", "jvp"):
+            raise ValueError(f"gp_mode must be 'reverse' or 'jvp', "
+                             f"got {self.gp_mode!r}")
+        if self.remat_policy not in ("full", "convs", "d_only"):
+            raise ValueError(f"remat_policy must be 'full', 'convs' or "
+                             f"'d_only', got {self.remat_policy!r}")
+        if self.gp_every < 1 or self.n_critic < 1:
+            raise ValueError("gp_every and n_critic must be >= 1")
+
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2,
@@ -260,7 +272,12 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
         metrics = dict(d_aux)
         metrics["d_total"] = d_total
-        metrics["ada_p"] = ada_state["p"]
+        # report the probability actually APPLIED: the controller state when
+        # ADA drives it, the fixed augment_p when augmentation runs without
+        # a controller (ada_state["p"] would log a misleading 0.0 there)
+        metrics["ada_p"] = (jnp.float32(augment_p)
+                            if augment_cfg is not None and ada_cfg is None
+                            else ada_state["p"])
         # r_t overfitting signal (mean sign of D's real logits, ada/
         # adapt_augm.py:41): logged so ADA-p trajectories can be explained.
         metrics["ada_r"] = jnp.mean(jnp.sign(real_logits))

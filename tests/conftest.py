@@ -22,3 +22,13 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu"
+
+# Persist XLA executables across suite runs (same cache the CLIs and the
+# multichip dryrun use): the heavy remat/ADA/scan step compiles dominate
+# suite wall time and are identical run to run.
+try:
+    from pgx.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:                      # cache is an accelerator, never a gate
+    pass

@@ -48,6 +48,14 @@ def simulate_proper(n, ips, max_step, init_step=1):
     return states
 
 
+def test_legacy_schedule_rejects_degenerate_split():
+    """total_iter < max_step gives a zero-length stage in the reference's
+    split — a clear constructor error beats a ZeroDivisionError mid-loop."""
+    with pytest.raises(ValueError, match="total_iter"):
+        LegacySchedule(2, 3)
+    LegacySchedule(3, 3)    # one iteration per stage is the minimum
+
+
 @pytest.mark.parametrize("total_iter,max_step,init_step",
                          [(30, 3, 1), (60, 6, 1), (44, 4, 2), (100, 3, 3)])
 def test_legacy_schedule_matches_reference_loop(total_iter, max_step,

@@ -161,6 +161,19 @@ def test_make_mesh_2d_for_batch():
         make_mesh_2d_for_batch(8, 3)
 
 
+def test_make_mesh_2d_for_batch_multihost_refuses_drop(monkeypatch):
+    """Dropping devices to fit the batch is a single-host convenience only:
+    in a multi-host run it can exclude another host's chips entirely and
+    every process must enter every jitted step, so it must raise."""
+    import pgx.parallel.tp as tp
+    monkeypatch.setattr(tp.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="multi-host"):
+        make_mesh_2d_for_batch(3, 2)
+    # exact fits are still fine
+    mesh = make_mesh_2d_for_batch(16, 2)
+    assert mesh.devices.shape == (4, 2)
+
+
 @pytest.mark.slow
 def test_train_loop_model_parallel_e2e(tmp_path):
     """End-to-end: train_loop with --model-parallel 2 (channels) runs the

@@ -350,6 +350,21 @@ def test_fixed_p_augmentation_without_controller():
     assert np.isfinite(float(m["d_total"]))
     # p=0.9 actually augments: D sees different images than the p=0 run
     assert abs(float(m["real_score"]) - float(m0["real_score"])) > 1e-6
+    # and the log reports the APPLIED probability, not the unused
+    # controller state (which stays 0.0 without an ada_cfg)
+    assert float(m["ada_p"]) == pytest.approx(0.9)
+    assert float(m0["ada_p"]) == pytest.approx(0.0)
+
+
+def test_train_config_validates_fields():
+    """Programmatic construction must reject unknown modes instead of
+    silently selecting the reverse/other branch at trace time."""
+    with pytest.raises(ValueError, match="gp_mode"):
+        TrainConfig(gp_mode="forward")
+    with pytest.raises(ValueError, match="remat_policy"):
+        TrainConfig(remat_policy="none")
+    with pytest.raises(ValueError, match="gp_every"):
+        TrainConfig(gp_every=0)
 
 
 def test_g_step_redraws_augmentation(monkeypatch):
