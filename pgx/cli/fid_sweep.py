@@ -81,7 +81,13 @@ def main(argv=None):
                          batch_size=args.batch_size, extractor=extractor,
                          kid=args.kid, kid_subset_size=args.kid_subset_size,
                          kid_subsets=args.kid_subsets)
-    best = min(scores.items(), key=lambda kv: kv[1]) if scores else None
+    # exclude entries still marked in-training (per-stage baseline, no
+    # checkpoint file to re-score from): not comparable to the sweep's
+    from pgx.eval.sweep import load_fid_meta
+    meta = load_fid_meta(args.trial)
+    comparable = {k: v for k, v in scores.items() if k not in meta}
+    best = (min(comparable.items(), key=lambda kv: kv[1])
+            if comparable else None)
     if best:
         print(f"best: {best[0]} FID={best[1]:.2f}")
     return scores

@@ -232,6 +232,11 @@ class ImageFolderDataset:
         self.paths = [self.paths[i] for i in idx]
         if self.labels is not None:
             self.labels = self.labels[idx]
+        # the decode cache is keyed by (index, size, ...): entries cached
+        # before the remap would alias different files after it
+        with self._cache_lock:
+            self._cache.clear()
+            self._cache_bytes = 0
         return self
 
     def load(self, idx: int, size: int, seed: Optional[int] = None,

@@ -41,6 +41,11 @@ def array_batches(dataset: ArrayDataset, batch_size: int, resolution: int,
     from pgx.native import gather_normalize
     rng = np.random.RandomState(seed)
     n = len(images)
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {n} available images at "
+            f"{resolution}px — the epoch loop would yield nothing and "
+            f"training would hang (reduce the batch or --limit-images less)")
     while True:
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
@@ -77,6 +82,10 @@ def folder_batches(dataset: ImageFolderDataset, batch_size: int,
     the synchronous path: every load is keyed by (seed, epoch, index)."""
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {n} available images — "
+            f"the epoch loop would yield nothing and training would hang")
     epoch = 0
     with ordered_map_pool(num_workers) as pmap:
         while True:

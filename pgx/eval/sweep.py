@@ -6,7 +6,9 @@ For every ``{iter}_g.model`` checkpoint in a trial dir: reconstruct
 reference's arithmetic, :94-100), generate N samples in batches from the EMA
 generator, score FID against real-data statistics, and append to an
 incremental ``fid_score.json`` that skips already-scored checkpoints
-(:38-46, :86-87).
+(:38-46, :86-87).  Exception: entries written by the in-training gate
+(``TrainingFid``) are re-scored — their per-stage-resolution balanced
+baseline is not comparable to the sweep's (see ``load_fid_meta``).
 """
 
 from __future__ import annotations
@@ -53,6 +55,23 @@ def append_fid_score(trial_dir: str, name: str, score: float) -> None:
 def load_kid_scores(trial_dir: str) -> dict:
     """Incremental kid_score.json: {ckpt: [mean, std]} (pgx.eval.kid)."""
     return _load_scores(trial_dir, "kid_score.json")
+
+
+def load_fid_meta(trial_dir: str) -> dict:
+    """Names whose fid_score.json entries came from the IN-TRAINING gate
+    (TrainingFid: per-stage-resolution, class-balanced real baseline).
+    Those numbers are not comparable to a post-hoc sweep's single
+    native-resolution baseline, so ``sweep_trial`` re-scores them instead
+    of skipping — the final file never mixes the two scales."""
+    return _load_scores(trial_dir, "fid_score_meta.json")
+
+
+def _unmark_in_training(trial_dir: str, name: str) -> None:
+    meta = load_fid_meta(trial_dir)
+    if name in meta:
+        del meta[name]
+        with open(os.path.join(trial_dir, "fid_score_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
 
 
 def append_kid_score(trial_dir: str, name: str, mean: float,
@@ -107,17 +126,32 @@ def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
     if extractor is None:
         extractor = make_extractor()
 
-    real_acts = get_activations(real_data, extractor, batch_size)
-    mu_r, sig_r = np.mean(real_acts, axis=0), np.cov(real_acts, rowvar=False)
+    # real activations computed lazily: a fully-scored trial (the
+    # incremental-skip use case) must not pay the Inception pass at all
+    real = {}
+
+    def _real():
+        if not real:
+            acts = get_activations(real_data, extractor, batch_size)
+            real["acts"] = acts
+            real["mu"] = np.mean(acts, axis=0)
+            real["sig"] = np.cov(acts, rowvar=False)
+        return real
+
     scores = load_fid_scores(trial_dir)
     kid_scores = load_kid_scores(trial_dir) if kid else {}
+    in_training = load_fid_meta(trial_dir)
     for path in ckpt.list_checkpoints(trial_dir, "g"):
         name = os.path.basename(path)
-        if name in scores and (not kid or name in kid_scores):
+        # in-training entries (TrainingFid) used a per-stage-resolution
+        # balanced baseline — re-score them against THIS sweep's baseline
+        # so min()/comparisons inside fid_score.json stay apples-to-apples
+        rescore = name in in_training
+        if (name in scores and not rescore
+                and (not kid or name in kid_scores)):
             continue
-        iteration = ckpt.checkpoint_iteration(path)
-        st = schedule.state_at(max(iteration - 1, 0))
-        params = ckpt.load_params(path)
+        _, params, _, st = ckpt.load_generator_state(
+            trial_dir, schedule, ckpt.checkpoint_iteration(path))
         samples = generate_samples(
             params, gcfg, step=st.step, alpha=st.alpha, fading=st.fading,
             num_samples=num_samples, batch_size=batch_size,
@@ -125,23 +159,34 @@ def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
             else 0)
         gen_acts = get_activations(samples, extractor, batch_size)
         msg = f"{name}: step={st.step} alpha={st.alpha:.2f}"
-        if name not in scores:
+        if name not in scores or rescore:
+            r = _real()
             mu_g, sig_g = (np.mean(gen_acts, axis=0),
                            np.cov(gen_acts, rowvar=False))
-            fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
+            fid = calculate_frechet_distance(mu_g, sig_g, r["mu"], r["sig"])
             scores[name] = fid
             append_fid_score(trial_dir, name, fid)
-            msg += f" FID={fid:.2f}"
-        if kid and name not in kid_scores:
+            msg += f" FID={fid:.2f}" + (" (re-scored)" if rescore else "")
+        if kid and (name not in kid_scores or rescore):
             from pgx.eval.kid import kid_from_activations
             k_mean, k_std = kid_from_activations(
-                real_acts, gen_acts, subset_size=kid_subset_size,
+                _real()["acts"], gen_acts, subset_size=kid_subset_size,
                 num_subsets=kid_subsets)
             kid_scores[name] = [k_mean, k_std]
             append_kid_score(trial_dir, name, k_mean, k_std)
             msg += f" KID={k_mean:.5f}+-{k_std:.5f}"
+        if rescore:
+            _unmark_in_training(trial_dir, name)
         if verbose:
             print(msg, flush=True)
+    # in-training scores at iterations with NO checkpoint file cannot be
+    # re-scored (no params to regenerate from) — they stay marked, and
+    # consumers (fid_sweep's best-of) must exclude them from comparisons
+    leftover = [n for n in load_fid_meta(trial_dir) if n in scores]
+    if leftover and verbose:
+        print(f"note: {len(leftover)} in-training score(s) have no "
+              f"checkpoint file and keep their per-stage baseline: "
+              f"{leftover}", flush=True)
     return scores
 
 
@@ -154,12 +199,18 @@ def precompute_real_statistics(dataset, sizes, out_dir: str,
     (fid/get_wikiart_original_scores.py:31-72), saved as {size}_stats.npz."""
     if extractor is None:
         extractor = make_extractor()
-    rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
+    # class-balanced subset when labels exist (uniform otherwise) — the
+    # generated side draws balanced labels (generate_samples), so the real
+    # baseline must match that label distribution
+    from pgx.data.datasets import _balanced_subset_indices
+    labels = getattr(dataset, "labels", None)
+    ncls = int(getattr(dataset, "num_classes", 0) or 0)
     for size in sizes:
         images = dataset.at_resolution(size)
-        idx = rng.choice(len(images), min(samples_per_size, len(images)),
-                         replace=False)
+        idx = _balanced_subset_indices(
+            labels, ncls, min(samples_per_size, len(images)), seed,
+            total=len(images))
         mu, sigma = calculate_activation_statistics(images[idx], extractor,
                                                     batch_size)
         with open(os.path.join(out_dir, f"{prefix}{size}_stats.npz"),
@@ -177,9 +228,14 @@ class TrainingFid:
     """In-training FID: score the (EMA) generator against per-resolution
     real statistics DURING a run, appending to the trial's incremental
     ``fid_score.json`` under the same ``{iter}_g.model`` keys the post-hoc
-    sweep uses — a later ``pgx.cli.fid_sweep`` skips already-scored
-    checkpoints automatically.  The reference's quality gate is post-hoc
-    only (fid/load_*_model_and_fid_it.py); wiring it into the loop
+    sweep uses.  Entries are marked in ``fid_score_meta.json`` as
+    in-training: their real baseline is per-stage-resolution and
+    class-balanced, which is internally consistent for the training trend
+    but NOT comparable to the post-hoc sweep's single native-resolution
+    baseline — so a later ``pgx.cli.fid_sweep`` re-scores them under its
+    own baseline rather than mixing the two scales in one file.  The
+    reference's quality gate is post-hoc only
+    (fid/load_*_model_and_fid_it.py); wiring it into the loop
     (``--fid-every``) closes the feedback cycle without a second process.
 
     Needs an array-backed dataset (per-resolution uint8 caches); real
@@ -239,6 +295,11 @@ class TrainingFid:
         mu_r, sig_r = self.real_stats(st.resolution)
         fid = calculate_frechet_distance(mu_g, sig_g, mu_r, sig_r)
         if trial_dir is not None:
-            append_fid_score(trial_dir, ckpt.checkpoint_name(iteration, "g"),
-                             fid)
+            name = ckpt.checkpoint_name(iteration, "g")
+            append_fid_score(trial_dir, name, fid)
+            # mark as in-training so a later post-hoc sweep re-scores it
+            # against its own (native-resolution) baseline instead of
+            # mixing the two scales in one file
+            _append_score(trial_dir, "fid_score_meta.json", name,
+                          "in-training")
         return float(fid)

@@ -177,6 +177,44 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
 
+    # Reference semantics: resume reloads the trial's config JSON and trains
+    # THAT architecture AND growth schedule (load_saved_config,
+    # proper_cifar_train.py:55-69) — the CLI's args may drift (a grown
+    # checkpoint's channel plan, a forgotten --stage-batches).  Resolved up
+    # front because mesh sizing below derives from the schedule's per-stage
+    # batches.  Multi-host: only process 0 reads the filesystem (the trial
+    # dir may not exist elsewhere); the result is broadcast so every process
+    # compiles the same architecture.
+    if resume_dir is not None:
+        from pgx.parallel.distributed import broadcast_obj
+        from pgx.train.schedule import schedule_from_dict, schedule_to_dict
+        saved = saved_sched = None
+        if jax.process_index() == 0:
+            try:
+                cfg_json = ckpt.load_config(resume_dir.rstrip("/"))
+                saved = ckpt.configs_from_dict(cfg_json)
+                saved_sched = cfg_json.get("schedule")
+            except (FileNotFoundError, KeyError, TypeError):
+                saved = saved_sched = None
+        saved, saved_sched = broadcast_obj(
+            (saved, saved_sched) if jax.process_index() == 0 else None)
+        if saved is not None and (saved[0] != gcfg or saved[1] != dcfg):
+            import warnings
+            warnings.warn(
+                "resume: model configs in the trial's train_config JSON "
+                "differ from the configured ones; using the saved configs "
+                "(reference resume semantics)", RuntimeWarning)
+            gcfg, dcfg = saved[0], saved[1]
+        if (saved_sched is not None
+                and schedule_to_dict(schedule) != saved_sched):
+            import warnings
+            warnings.warn(
+                "resume: growth schedule in the trial's train_config JSON "
+                "differs from the configured one; using the saved schedule "
+                "— otherwise the resumed iteration would map to a "
+                "different (step, alpha, batch)", RuntimeWarning)
+            schedule = schedule_from_dict(saved_sched)
+
     # per-stage batch sizes (ProperSchedule.stage_batches): the schedule
     # prescribes the data batch for each growth stage; unlisted stages (and
     # schedules without the capability) use loop_cfg.batch_size.  The mesh
@@ -223,6 +261,13 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         if mesh is None:
             raise ValueError("multi-host training requires use_mesh=True")
         host_seed = loop_cfg.seed + 104729 * jax.process_index()
+        # fail at launch, not hours in when the offending stage begins:
+        # every per-stage global batch must split evenly across hosts
+        for b in stage_batches:
+            if b % n_hosts:
+                raise ValueError(
+                    f"per-stage batch {b} is not divisible by {n_hosts} "
+                    f"hosts (stage batches: {stage_batches})")
 
     def host_batch_for(global_batch: int) -> int:
         """This process's share of a (per-stage) global batch."""
@@ -283,34 +328,17 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
 
     if resume_dir is not None:
         trial_dir = resume_dir.rstrip("/")
-        postfix = os.path.basename(trial_dir)[len("trial_"):]
+        base = os.path.basename(trial_dir)
+        # strip the conventional prefix only when present: a renamed/copied
+        # resume dir must not get its name mangled (the postfix names the
+        # CSV log this run appends to)
+        postfix = base[len("trial_"):] if base.startswith("trial_") else base
         if is_main:  # a grown/imported trial dir may lack the subdirs
             os.makedirs(os.path.join(trial_dir, "sample"), exist_ok=True)
             os.makedirs(os.path.join(trial_dir, "checkpoint"), exist_ok=True)
-        # Reference semantics: resume reloads the trial's config JSON and
-        # trains THAT architecture (load_saved_config,
-        # proper_cifar_train.py:55-69) — the CLI's model args may drift
-        # (e.g. resuming a grown checkpoint whose channel plan differs).
-        # Multi-host: ONLY process 0 touches the filesystem (the trial dir
-        # may not exist on other hosts); configs and the restored state are
-        # broadcast so every process compiles the same architecture.
+        # (gcfg/dcfg/schedule were already resolved from the trial's saved
+        # config at the top of train_loop, before mesh sizing.)
         from pgx.parallel.distributed import broadcast_obj, broadcast_state
-        saved = None
-        if is_main:
-            try:
-                saved = ckpt.configs_from_dict(ckpt.load_config(trial_dir))
-            except (FileNotFoundError, KeyError, TypeError):
-                saved = None
-        saved = broadcast_obj(saved)
-        if saved is not None and (saved[0] != gcfg or saved[1] != dcfg):
-            import warnings
-            warnings.warn(
-                "resume: model configs in the trial's train_config JSON "
-                "differ from the configured ones; using the saved configs "
-                "(reference resume semantics)", RuntimeWarning)
-            gcfg, dcfg = saved[0], saved[1]
-            key = jax.random.PRNGKey(loop_cfg.seed)
-            state = init_train_state(key, gcfg, dcfg, tc)
         # Broadcast the load OUTCOME before the state collectives: if the
         # restore fails on process 0 only (e.g. a resume dir with no
         # checkpoints), every host must raise the same error — otherwise
@@ -442,9 +470,15 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     import threading as _threading
     sigterm_installed = False
     prev_sigterm = None
+    sigterm_hit = False
     if _threading.current_thread() is _threading.main_thread():
         def _on_sigterm(signum, frame):
-            raise SystemExit(143)
+            # DEFER: raising here can land between a donated device dispatch
+            # and the rebinding of `state`, leaving the emergency checkpoint
+            # only deleted buffers ("Array has been deleted").  The loop
+            # raises at the next iteration boundary, where `state` is whole.
+            nonlocal sigterm_hit
+            sigterm_hit = True
         try:
             prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
             sigterm_installed = True
@@ -454,6 +488,8 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     try:
         i = start_iter
         while i < total:
+            if sigterm_hit:
+                raise SystemExit(143)
             st = schedule.state_at(i)
             if st.resolution != current_res:
                 if prefetcher is not None:

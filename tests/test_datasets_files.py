@@ -43,6 +43,48 @@ def test_image_folder_aspect_preserving(tmp_path):
     assert labels.shape == (3,)
 
 
+def test_batch_larger_than_dataset_raises(tmp_path):
+    """batch_size > len(dataset) would make the epoch loop yield nothing
+    and the prefetcher spin forever — must be a clear error instead."""
+    import pytest
+
+    from pgx.data import synthetic_dataset
+    from pgx.data.pipeline import array_batches
+
+    root = tmp_path / "tiny"
+    os.makedirs(root / "all")
+    for i in range(2):
+        _write_png(root / "all" / f"{i}.png", 40, 40)
+    ds = ImageFolderDataset(str(root), seed=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        next(folder_batches(ds, 4, 32, seed=0))
+
+    arr = synthetic_dataset(n=4, size=16, channels=1, seed=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        next(array_batches(arr, 8, 16, seed=0))
+
+
+def test_limit_clears_decode_cache(tmp_path):
+    """limit() remaps path indices; decode-cache entries from before the
+    remap must not alias different files afterwards."""
+    root = tmp_path / "folder"
+    os.makedirs(root / "all")
+    for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255),
+                               (255, 255, 0)]):
+        _write_png(root / "all" / f"{i}.png", 40, 40, color=color)
+    ds = ImageFolderDataset(str(root), random_crop=False, hflip=False,
+                            seed=0)
+    before = ds.load(0, 32).copy()          # warms cache under key (0, 32)
+    ds.limit(2, seed=3)
+    after = ds.load(0, 32)
+    # seed 3 selects files {1, 3}: post-limit index 0 is a DIFFERENT file,
+    # so a stale cache hit would return `before` (file 0)
+    fresh = ImageFolderDataset(str(root), random_crop=False, hflip=False,
+                               seed=0).limit(2, seed=3).load(0, 32)
+    np.testing.assert_array_equal(after, fresh)
+    assert not np.array_equal(after, before)
+
+
 def test_folder_stream_resume_reproducible(tmp_path):
     """Crop/flip randomness is counter-derived from (seed, epoch, index):
     restarting the batch iterator reproduces the exact augmentation stream

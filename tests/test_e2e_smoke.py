@@ -301,17 +301,60 @@ def test_in_training_fid_gate(tmp_path):
 
     gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
     loop_cfg = dataclasses.replace(loop_cfg, trial_name="smoke_fid",
-                                   fid_every=12, fid_samples=16)
+                                   fid_every=10, fid_samples=16)
     trial = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
 
     with open(os.path.join(trial, "fid_score.json")) as f:
         scores = json.load(f)
-    assert set(scores) == {"012_g.model", "024_g.model"}
+    assert set(scores) == {"010_g.model", "020_g.model"}
     assert all(np.isfinite(v) for v in scores.values())
 
-    # the post-hoc sweep sees these as already scored and adds nothing new
-    from pgx.eval.sweep import load_fid_scores
-    assert load_fid_scores(trial) == scores
+    # in-training entries are marked: their per-stage-resolution balanced
+    # baseline is not comparable to a post-hoc sweep's, so the sweep must
+    # RE-score them under its own baseline instead of skipping — except
+    # where no checkpoint file exists (nothing to regenerate from): those
+    # keep the mark so comparisons can exclude them
+    from pgx.eval.sweep import load_fid_meta, load_fid_scores, sweep_trial
+    assert set(load_fid_meta(trial)) == set(scores)
+    os.remove(os.path.join(trial, "checkpoint", "010_g.model"))
+    real = dataset.at_resolution(32)[:24]
+    swept = sweep_trial(trial, schedule, real, num_samples=16,
+                        batch_size=8, verbose=False)
+    assert set(swept) >= set(scores)
+    # 020 had a checkpoint -> re-scored, mark cleared; 010's file was
+    # removed -> keeps its in-training mark (and its per-stage score)
+    assert set(load_fid_meta(trial)) == {"010_g.model"}
+    assert all(np.isfinite(v) for v in load_fid_scores(trial).values())
+
+
+def test_resume_restores_saved_schedule(tmp_path):
+    """Resume must train under the trial's SAVED growth schedule, not the
+    caller's: a drifted schedule (forgotten --stage-batches, different
+    split) would map the resumed iteration to a different (step, alpha).
+    Also: a renamed trial dir (no 'trial_' prefix) must not get its log
+    postfix mangled."""
+    import dataclasses
+    import shutil
+    import warnings as _warnings
+
+    gcfg, dcfg, tc, schedule, dataset, loop_cfg = _tiny_setup(tmp_path)
+    trial = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg)
+
+    renamed = os.path.join(str(tmp_path), "backup_run")
+    shutil.copytree(trial, renamed)
+    drifted = LegacySchedule(100, 2, 1)      # saved one is (24, 2, 1)
+    with pytest.warns(RuntimeWarning, match="growth schedule"):
+        train_loop(gcfg, dcfg, tc, drifted, dataset, loop_cfg,
+                   resume_dir=renamed)
+    # un-mangled postfix: the resumed run logs under the dir's own name
+    assert os.path.exists(os.path.join(renamed,
+                                       "train_log_backup_run.txt"))
+    # same schedule passed -> no schedule warning
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        train_loop(gcfg, dcfg, tc, LegacySchedule(24, 2, 1), dataset,
+                   loop_cfg, resume_dir=renamed)
+    assert not any("growth schedule" in str(w.message) for w in caught)
 
 
 def test_steps_per_call_auto(tmp_path):

@@ -230,3 +230,39 @@ def test_sweep_trial_end_to_end(tmp_path):
     scores2 = sweep_trial(trial, schedule, real, num_samples=16,
                           batch_size=8, extractor=extractor, verbose=False)
     assert scores2 == scores
+
+
+def test_precompute_real_statistics_balanced(tmp_path, monkeypatch):
+    """Per-resolution real-stat precompute must draw a class-BALANCED
+    subset when labels exist — the generated side draws balanced labels
+    (generate_samples), so an imbalanced real baseline would bias the
+    metric — and the npz round-trip must restore (mu, sigma)."""
+    from pgx.data import synthetic_dataset
+    from pgx.data.datasets import _balanced_subset_indices
+    from pgx.eval import sweep as sweep_mod
+
+    # imbalanced: 24 of class 0, 8 of class 1
+    ds = synthetic_dataset(n=32, size=16, channels=1, num_classes=2, seed=0)
+    ds.labels = np.array([0] * 24 + [1] * 8)
+
+    seen = {}
+    real_stats = sweep_mod.calculate_activation_statistics
+
+    def spy(images, extractor, batch_size):
+        seen["images"] = images
+        return real_stats(images, extractor, batch_size)
+
+    monkeypatch.setattr(sweep_mod, "calculate_activation_statistics", spy)
+    extractor = make_extractor(key=jax.random.PRNGKey(0))
+    sweep_mod.precompute_real_statistics(
+        ds, [16], str(tmp_path), samples_per_size=16,
+        extractor=extractor, batch_size=8, seed=3)
+
+    idx = _balanced_subset_indices(ds.labels, 2, 16, 3, total=32)
+    np.testing.assert_array_equal(seen["images"],
+                                  ds.at_resolution(16)[idx])
+    # round-robin balance: the minority class contributes all 8
+    assert (ds.labels[idx] == 1).sum() == 8
+
+    mu, sigma = sweep_mod.load_real_statistics(str(tmp_path), 16)
+    assert mu.shape == (2048,) and sigma.shape == (2048, 2048)
