@@ -118,7 +118,18 @@ def list_checkpoints(trial_dir: str, kind: str = "g"):
     ckpt = os.path.join(trial_dir, "checkpoint")
     if not os.path.isdir(ckpt):
         return []
-    names = [n for n in os.listdir(ckpt) if n.endswith(f"_{kind}.model")]
+
+    def _numeric(name: str) -> bool:
+        # a stray hand-named copy (best_g.model) must not break every
+        # checkpoint consumer for the whole trial
+        try:
+            checkpoint_iteration(name)
+            return True
+        except ValueError:
+            return False
+
+    names = [n for n in os.listdir(ckpt)
+             if n.endswith(f"_{kind}.model") and _numeric(n)]
     names.sort(key=checkpoint_iteration)
     return [os.path.join(ckpt, n) for n in names]
 

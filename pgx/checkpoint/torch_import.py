@@ -250,8 +250,8 @@ def infer_ref_config(g_sd: Dict[str, Any],
     for key in ("embedding.weight", "embedding.embed.weight_orig"):
         if key in g_sd:
             embed_dim = int(g_sd[key].shape[1])
-    for key, single in (("progression_4.0.conv.weight_orig", False),
-                        ("input_layer.0.conv.weight_orig", False)):
+    for key in ("progression_4.0.conv.weight_orig",
+                "input_layer.0.conv.weight_orig"):
         if key in g_sd:
             w = g_sd[key]                       # torch IOHW for transpose
             gen["input_code_dim"] = int(w.shape[0]) - embed_dim

@@ -35,9 +35,11 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def to_uint8_quirk(x: np.ndarray) -> np.ndarray:
     """The reference's float->uint8 squash: tanh(x)+1 then *127.5
-    (musem_fid.py:41-43).  Applied only to float32 inputs."""
-    if x.dtype == np.float32:
-        x = np.tanh(x) + 1.0
+    (musem_fid.py:41-43).  The reference only ever sees float32; other
+    float dtypes (e.g. numpy-default float64) take the same path rather
+    than crashing later inside PIL."""
+    if x.dtype.kind == "f":
+        x = np.tanh(np.asarray(x, np.float32)) + 1.0
         x = x * 127.5
         return x.astype(np.uint8)
     return x
@@ -82,6 +84,8 @@ def get_activations(data: np.ndarray, extractor: Callable,
                     batch_size: int = 50) -> np.ndarray:
     """Batched pool3 activations (musem_fid.py:71-123)."""
     n = len(data)
+    if n == 0:
+        raise ValueError("no images to extract activations from")
     out = None
     for start in range(0, n, batch_size):
         batch = preprocess(data[start:start + batch_size])

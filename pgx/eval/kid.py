@@ -61,6 +61,11 @@ def kid_from_activations(real_acts: np.ndarray, fake_acts: np.ndarray,
     m = min(subset_size, len(real_acts), len(fake_acts))
     assert m > 1, "KID needs >= 2 samples per set"
     rng = np.random.RandomState(seed)
+    if m == len(real_acts) and m == len(fake_acts):
+        # every "subset" is a permutation of the full sets and MMD^2 is
+        # permutation-invariant: one deterministic value (std 0), not
+        # num_subsets identical kernel computations
+        num_subsets = 1
     vals = np.empty(num_subsets, np.float64)
     for i in range(num_subsets):
         x = real_acts[rng.choice(len(real_acts), m, replace=False)]

@@ -38,10 +38,16 @@ def snapshot_sources(trial_dir: str, package_root: str = None) -> str:
             rel_path = os.path.normpath(os.path.join(rel, name))
             dst = os.path.join(dst_root, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copy2(src, dst)
+            # read once and hash the bytes actually written: copying then
+            # re-reading would let a concurrent edit leave the manifest
+            # digest permanently mismatched with the copied snapshot
             with open(src, "rb") as f:
-                manifest[rel_path.replace(os.sep, "/")] = hashlib.sha256(
-                    f.read()).hexdigest()
+                payload = f.read()
+            with open(dst, "wb") as f:
+                f.write(payload)
+            shutil.copystat(src, dst)
+            manifest[rel_path.replace(os.sep, "/")] = hashlib.sha256(
+                payload).hexdigest()
     path = os.path.join(trial_dir, "src_snapshot", "MANIFEST.json")
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -85,14 +91,14 @@ def restore_from_snapshot(trial_dir: str, dest: str = None,
                     bad[rel] = "corrupt"
         # files PRESENT in the snapshot but absent from the manifest are
         # also tampering (a planted module would otherwise be restored
-        # unverified into the importable root)
+        # unverified into the importable root) — EVERY file counts, not
+        # just .py: a planted .so/.pyc would shadow the verified source
+        # under the extension-module loader precedence
         pkg_root = os.path.join(snap_root, "pgx")
         for dirpath, _, names in os.walk(pkg_root):
-            if "__pycache__" in dirpath:  # byte-compiled later, not source
+            if "__pycache__" in dirpath:  # never restored (see copytree)
                 continue
             for name in names:
-                if not name.endswith(".py"):
-                    continue
                 rel = os.path.relpath(os.path.join(dirpath, name),
                                       pkg_root).replace(os.sep, "/")
                 if rel not in manifest:
@@ -105,7 +111,8 @@ def restore_from_snapshot(trial_dir: str, dest: str = None,
     dst_pkg = os.path.join(dest, "pgx")
     if os.path.exists(dst_pkg):
         shutil.rmtree(dst_pkg)
-    shutil.copytree(os.path.join(snap_root, "pgx"), dst_pkg)
+    shutil.copytree(os.path.join(snap_root, "pgx"), dst_pkg,
+                    ignore=shutil.ignore_patterns("__pycache__"))
     return dest
 
 

@@ -266,3 +266,17 @@ def test_precompute_real_statistics_balanced(tmp_path, monkeypatch):
 
     mu, sigma = sweep_mod.load_real_statistics(str(tmp_path), 16)
     assert mu.shape == (2048,) and sigma.shape == (2048, 2048)
+
+
+def test_preprocess_any_float_dtype_and_empty_activations():
+    """float64 (numpy default) must take the same tanh-uint8 path as
+    float32 instead of crashing inside PIL; zero images is a clear error
+    before any extractor work."""
+    rng = np.random.RandomState(0)
+    imgs64 = rng.randn(2, 16, 16, 3)
+    out64 = preprocess(imgs64)
+    assert out64.shape == (2, 299, 299, 3) and out64.dtype == np.float32
+    np.testing.assert_allclose(
+        out64, preprocess(imgs64.astype(np.float32)), atol=1e-6)
+    with pytest.raises(ValueError, match="no images"):
+        get_activations(np.zeros((0, 8, 8, 3), np.uint8), lambda b: b)

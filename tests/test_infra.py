@@ -302,3 +302,37 @@ def test_compile_cache_persists_across_processes(tmp_path):
     n1 = run()
     assert n1 >= 1                       # first process populated the cache
     assert run() == n1                   # second process: hits, no new keys
+
+
+def test_restore_refuses_planted_non_py_files(tmp_path):
+    """Manifest verification must flag EVERY unlisted file, not just .py:
+    a planted .so/.pyc would shadow the verified source under the
+    extension-module loader precedence."""
+    import pytest
+
+    persistence.snapshot_sources(str(tmp_path))
+    planted = os.path.join(str(tmp_path), "src_snapshot", "pgx", "evil.so")
+    with open(planted, "wb") as f:
+        f.write(b"\x7fELF fake")
+    with pytest.raises(ValueError, match="unlisted"):
+        persistence.restore_from_snapshot(str(tmp_path))
+    os.remove(planted)
+    root = persistence.restore_from_snapshot(str(tmp_path))
+    assert os.path.exists(os.path.join(root, "pgx", "__init__.py"))
+
+
+def test_list_checkpoints_ignores_stray_names(tmp_path):
+    """A hand-named copy (best_g.model) must not break checkpoint
+    discovery for the whole trial."""
+    from pgx import checkpoint as ckpt
+
+    ckdir = os.path.join(str(tmp_path), "checkpoint")
+    os.makedirs(ckdir)
+    for name in ("002_g.model", "010_g.model", "best_g.model"):
+        with open(os.path.join(ckdir, name), "wb") as f:
+            f.write(b"x")
+    paths = ckpt.list_checkpoints(str(tmp_path), "g")
+    assert [os.path.basename(p) for p in paths] == ["002_g.model",
+                                                    "010_g.model"]
+    assert os.path.basename(ckpt.latest_checkpoint(str(tmp_path), "g")) \
+        == "010_g.model"

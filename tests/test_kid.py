@@ -133,3 +133,20 @@ def test_sweep_kid_fills_missing_scores(tmp_path):
                 kid_subset_size=12, kid_subsets=4)
     with open(os.path.join(trial, "kid_score.json")) as f:
         assert json.load(f) == kid_saved
+
+
+def test_kid_full_set_is_deterministic_single_pass():
+    """When subset_size covers BOTH sets every 'subset' is a permutation
+    of the full sets and MMD^2 is permutation-invariant: one computation
+    (std 0), not num_subsets identical kernel passes."""
+    from pgx.eval.kid import mmd2_unbiased, polynomial_kernel
+
+    rng = np.random.RandomState(0)
+    real, fake = rng.randn(50, 8), rng.randn(50, 8) + 0.5
+    mean, std = kid_from_activations(real, fake, subset_size=1000,
+                                     num_subsets=100)
+    assert std == 0.0
+    want = mmd2_unbiased(polynomial_kernel(real, real),
+                         polynomial_kernel(fake, fake),
+                         polynomial_kernel(real, fake))
+    assert np.isclose(mean, want)
