@@ -39,6 +39,8 @@ def load_image(path: str, dtype=np.uint8) -> np.ndarray:
     except Exception:
         import cv2  # may raise ImportError; that's the end of the chain
         img = cv2.imread(path)
+        if img is None:   # cv2.imread never raises — it returns None
+            raise IOError(f"could not decode image: {path}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(dtype)
 
 
@@ -148,7 +150,9 @@ def default_face_detector() -> Optional[Callable]:
             x0, y0, x1, y1 = boxes[0]
             return int((x0 + x1) / 2), int((y0 + y1) / 2)
         return facenet_detect
-    except ImportError:
+    except Exception:
+        # not just ImportError: MTCNN() may fail at weight download /
+        # torch init — fall through to the next detector either way
         pass
     try:
         from mtcnn import MTCNN  # noqa: F401 (absent here)
@@ -162,7 +166,7 @@ def default_face_detector() -> Optional[Callable]:
                                key=lambda f: f["confidence"])["box"]
             return int(x0 + w / 2), int(y0 + h / 2)
         return mtcnn_detect
-    except ImportError:
+    except Exception:
         pass
     try:
         import cv2
@@ -235,10 +239,20 @@ def rename_images(root: str, bad_chars: str = "&#;?") -> int:
     for dirpath, _, names in os.walk(root):
         for name in names:
             clean = "".join(ch for ch in name if ch not in bad_chars)
-            if clean != name:
-                os.rename(os.path.join(dirpath, name),
-                          os.path.join(dirpath, clean))
-                renamed += 1
+            if clean == name:
+                continue
+            dst = os.path.join(dirpath, clean)
+            if os.path.exists(dst):
+                # os.rename would silently REPLACE the existing file on
+                # POSIX — pick a unique name instead of destroying data
+                stem, ext = os.path.splitext(clean)
+                k = 1
+                while os.path.exists(os.path.join(dirpath,
+                                                  f"{stem}_{k}{ext}")):
+                    k += 1
+                dst = os.path.join(dirpath, f"{stem}_{k}{ext}")
+            os.rename(os.path.join(dirpath, name), dst)
+            renamed += 1
     return renamed
 
 

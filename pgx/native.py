@@ -102,7 +102,7 @@ def load_runtime(verbose: bool = False) -> Optional[ctypes.CDLL]:
                     subprocess.run(cmd, check=True, capture_output=True)
                     os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
-        assert lib.pgx_runtime_abi_version() == 1
+        assert lib.pgx_runtime_abi_version() == 2
         _lib = lib
     except Exception as exc:  # no compiler / build failure -> fallbacks
         if verbose:
@@ -143,6 +143,13 @@ def gather_normalize(images: np.ndarray, idx: np.ndarray) -> np.ndarray:
         return images[idx].astype(np.float32) / 127.5 - 1.0
     images = np.ascontiguousarray(images)
     idx = np.ascontiguousarray(idx, np.int64)
+    # numpy-fallback semantics for the C++ path too: negative indices wrap,
+    # out-of-range raises — the kernel does raw pointer arithmetic and
+    # would otherwise read out of bounds silently
+    n = len(images)
+    idx = np.where(idx < 0, idx + n, idx)
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        raise IndexError(f"index out of range for {n} images")
     elems = int(np.prod(images.shape[1:]))
     out = np.empty((len(idx),) + images.shape[1:], np.float32)
     lib.gather_normalize(_cptr(images, ctypes.c_uint8),

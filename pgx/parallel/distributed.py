@@ -94,12 +94,13 @@ def host_batch_slice(global_batch: int) -> Tuple[int, int, int]:
     return per, start, start + per
 
 
-def make_global_batch(mesh, host_arrays):
+def make_global_batch(mesh, host_arrays, axis_name: str = "data"):
     """Assemble a globally-sharded array from per-host shards
-    (jax.make_array_from_process_local_data wrapper)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    (jax.make_array_from_process_local_data wrapper; the library-API
+    counterpart of DevicePrefetcher's internal put path)."""
+    from pgx.parallel.mesh import batch_sharding
 
-    sharding = NamedSharding(mesh, P("data"))
+    sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(
         lambda a: jax.make_array_from_process_local_data(sharding, a),
         host_arrays)

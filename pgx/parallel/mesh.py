@@ -35,6 +35,15 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n < len(devices) and jax.process_count() > 1:
+        # a prefix-mesh in a multi-host run leaves hosts with uneven
+        # device counts, which per-host batch assembly
+        # (make_array_from_process_local_data) cannot satisfy — refuse
+        # loudly instead of failing at the first batch
+        raise ValueError(
+            f"batch_size={batch_size} is not divisible by the "
+            f"{len(devices)} devices of this multi-host mesh; raise it to "
+            f"a multiple of {len(devices)}")
     if n < len(devices):
         warnings.warn(
             f"batch_size={batch_size} is not divisible by the "
@@ -69,8 +78,7 @@ def replicate(mesh: Mesh, tree):
     ``make_array_from_process_local_data`` instead of ``device_put``."""
     sh = replicated(mesh)
     if jax.process_count() > 1:
-        import numpy as _np
         return jax.tree.map(
             lambda a: jax.make_array_from_process_local_data(
-                sh, _np.asarray(a)), tree)
+                sh, np.asarray(a)), tree)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

@@ -70,13 +70,26 @@ class Collector:
         return sorted(self._delta)
 
     def update(self, named_moments: Dict[str, Moments]) -> None:
+        seen = set()
         for name, m in named_moments.items():
             if not self._regex.fullmatch(name):
                 continue
             cur = np.asarray(m, np.float64)
             prev = self._cumulative.get(name, np.zeros(3))
+            if cur[0] < prev[0]:
+                # cumulative count dropped: the device-side moments were
+                # re-initialized (e.g. a new growth stage) — the whole
+                # snapshot is this window's delta, not cur - stale_prev
+                prev = np.zeros(3)
             self._delta[name] = cur - prev
             self._cumulative[name] = cur
+            seen.add(name)
+        # a stat absent from this snapshot contributed nothing THIS window
+        # (reference Collector semantics) — don't report last window's
+        # delta as current
+        for name in self._delta:
+            if name not in seen:
+                self._delta[name] = np.zeros(3)
 
     def num(self, name: str) -> int:
         return int(self._delta.get(name, np.zeros(3))[0])
@@ -111,7 +124,9 @@ def check_replica_consistency(tree, atol: float = 0.0,
         ref = np.asarray(shards[0].data)
         for s in shards[1:]:
             got = np.asarray(s.data)
-            if not np.allclose(ref, got, atol=atol, rtol=0):
+            # equal_nan: identical NaNs ARE bit-identical — a diverged but
+            # consistent state must not masquerade as replica drift
+            if not np.allclose(ref, got, atol=atol, rtol=0, equal_nan=True):
                 name = jax.tree_util.keystr(path)
                 raise AssertionError(
                     f"{label}{name} differs between device "

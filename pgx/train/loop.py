@@ -213,6 +213,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 "differs from the configured one; using the saved schedule "
                 "— otherwise the resumed iteration would map to a "
                 "different (step, alpha, batch)", RuntimeWarning)
+            # the saved schedule governs the (step, alpha) mapping, but
+            # the CALLER still chooses how long to train (the reference
+            # resume's additional_iterations, mnist_train.py:61): keep the
+            # run length the drifted schedule implied
+            if loop_cfg.total_iterations is None:
+                loop_cfg = dataclasses.replace(
+                    loop_cfg, total_iterations=schedule.total_iterations(
+                        loop_cfg.tail_iterations))
             schedule = schedule_from_dict(saved_sched)
 
     # per-stage batch sizes (ProperSchedule.stage_batches): the schedule

@@ -107,24 +107,10 @@ void resize_box_u8(const uint8_t* src, int64_t n, int64_t h, int64_t w,
     }
 }
 
-// Horizontal flip + optional crop for CelebA-style augmentation, uint8 NHWC.
-void crop_flip_u8(const uint8_t* src, int64_t h, int64_t w, int64_t c,
-                  int64_t y0, int64_t x0, int64_t size, int flip,
-                  uint8_t* dst) {
-    for (int64_t y = 0; y < size; ++y) {
-        const uint8_t* row = src + ((y0 + y) * w + x0) * c;
-        uint8_t* out_row = dst + y * size * c;
-        if (!flip) {
-            std::memcpy(out_row, row, static_cast<size_t>(size * c));
-        } else {
-            for (int64_t x = 0; x < size; ++x) {
-                std::memcpy(out_row + x * c, row + (size - 1 - x) * c,
-                            static_cast<size_t>(c));
-            }
-        }
-    }
-}
+// NOTE: a crop_flip_u8 kernel used to live here but had no caller — the
+// folder pipeline's crop/flip is a zero-copy numpy view whose one copy
+// happens in the batch np.stack either way, so a C++ kernel buys nothing.
 
-int pgx_runtime_abi_version() { return 1; }
+int pgx_runtime_abi_version() { return 2; }
 
 }  // extern "C"

@@ -336,3 +336,29 @@ def test_list_checkpoints_ignores_stray_names(tmp_path):
                                                     "010_g.model"]
     assert os.path.basename(ckpt.latest_checkpoint(str(tmp_path), "g")) \
         == "010_g.model"
+
+
+def test_collector_reset_and_absent_stats():
+    """A re-initialized device-side moment (new growth stage) must not
+    produce a negative delta, and a stat absent from an update window
+    reports zero — not last window's numbers as current."""
+    c = stats.Collector()
+    m = stats.report(stats.init_moments(), jnp.asarray([2.0, 4.0]))
+    c.update({"loss": m, "aux": m})
+    assert c.num("loss") == 2
+
+    fresh = stats.report(stats.init_moments(), jnp.asarray([7.0]))
+    c.update({"loss": fresh})          # loss reset; aux absent this window
+    assert c.num("loss") == 1
+    np.testing.assert_allclose(c.mean("loss"), 7.0)
+    assert c.num("aux") == 0
+
+
+def test_replica_consistency_equal_nan():
+    """Identical NaNs on every replica ARE consistent — divergence must
+    not masquerade as replica drift."""
+    from pgx.parallel import make_mesh, replicate
+
+    mesh = make_mesh()
+    rep = replicate(mesh, {"w": jnp.asarray([1.0, float("nan")])})
+    stats.check_replica_consistency(rep)  # should not raise

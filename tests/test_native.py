@@ -93,3 +93,21 @@ def test_torch_parity_bilinear():
     want = want.permute(0, 2, 3, 1).numpy()
     got = native.resize_bilinear(x, 8).astype(np.float32)
     assert np.abs(got - want).max() <= 1.0  # uint8 rounding
+
+
+def test_gather_normalize_negative_and_oob_indices():
+    """The C++ kernel does raw pointer arithmetic: the wrapper must give
+    it numpy-fallback semantics — negative indices wrap, out-of-range
+    raises — instead of reading out of bounds silently."""
+    import pytest
+
+    rng = np.random.RandomState(3)
+    images = (rng.rand(8, 4, 4, 1) * 255).astype(np.uint8)
+    idx = np.asarray([-1, 0, -8])
+    want = images[idx].astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_array_equal(native.gather_normalize(images, idx),
+                                  want)
+    with pytest.raises(IndexError):
+        native.gather_normalize(images, np.asarray([8]))
+    with pytest.raises(IndexError):
+        native.gather_normalize(images, np.asarray([-9]))

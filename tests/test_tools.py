@@ -190,3 +190,20 @@ def test_augmentation_demo_cli(tmp_path):
     main(["--synthetic", "--out", out, "--rows", "3", "--cols", "3",
           "--size", "16"])
     assert os.path.exists(out)
+
+
+def test_rename_collision_keeps_both_files(tmp_path):
+    """Sanitizing 'img1&.png' must not silently REPLACE an existing
+    'img1.png' (os.rename overwrites on POSIX)."""
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    os.makedirs(root)
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(root / "img1.png")
+    Image.new("RGB", (8, 8), (0, 255, 0)).save(root / "img1&.png")
+    n = prep.rename_images(str(root))
+    assert n == 1
+    names = sorted(os.listdir(root))
+    assert names == ["img1.png", "img1_1.png"]
+    # the original file's content is untouched
+    assert np.asarray(Image.open(root / "img1.png"))[0, 0, 0] == 255

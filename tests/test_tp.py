@@ -249,3 +249,16 @@ def test_use_spatial_sharding_gate():
     assert use_spatial_sharding(1024, 8)
     assert not use_spatial_sharding(4, 8)
     assert not use_spatial_sharding(4, 16)
+
+
+def test_make_mesh_for_batch_multihost_refuses_drop(monkeypatch):
+    """Same contract as the 2-D mesh: a multi-host run must not silently
+    shrink the mesh to a device prefix (uneven per-host device counts
+    break per-host batch assembly)."""
+    import pgx.parallel.mesh as mesh_mod
+    from pgx.parallel import make_mesh_for_batch
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="multi-host"):
+        make_mesh_for_batch(12)          # 8 virtual devices, 12 % 8 != 0
+    assert make_mesh_for_batch(16).devices.size == 8
