@@ -29,8 +29,6 @@ import math
 import threading
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -118,9 +116,11 @@ def equal_conv2d(p: Params, x: jnp.ndarray, padding: int = 0,
     return y + p["b"].astype(x.dtype)
 
 
-# Bilinear 2x upsample as zero-stuff + 4-tap FIR (see pgx/ops/resize.py):
-# out = corr(dilate2(edge_pad(x,1)), F4), F4 = [1,3,3,1]/4 (symmetric).
-_UP_FIR = (0.25, 0.75, 0.75, 0.25)
+# Bilinear 2x upsample as zero-stuff + 4-tap FIR: out =
+# corr(dilate2(edge_pad(x,1)), F4), F4 = [1,3,3,1]/4 — the shared constant
+# from the real resize op, so the fusion can't drift from it.
+from pgx.ops.resize import UP_FIR as _UP_FIR              # noqa: E402
+from pgx.ops.resize import _upsample2x_axis_h             # noqa: E402
 
 
 def equal_conv2d_up2x(p: Params, x: jnp.ndarray,
@@ -184,11 +184,11 @@ def equal_conv2d_up2x(p: Params, x: jnp.ndarray,
             dimension_numbers=("NHC", "HIO", "NHC"))
 
     def up1d(v):                        # (B, L, C) -> (B, 2L, C)
-        vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        even = 0.25 * vp[:, :-2] + 0.75 * vp[:, 1:-1]
-        odd = 0.75 * vp[:, 1:-1] + 0.25 * vp[:, 2:]
-        b, l, c = even.shape
-        return jnp.stack([even, odd], axis=2).reshape(b, 2 * l, c)
+        # the 1-D strip form of pgx.ops.resize.upsample2x — share its tap
+        # math so the border correction can never drift from the real op
+        vp = jnp.pad(v[:, :, None, :], ((0, 0), (1, 1), (0, 0), (0, 0)),
+                     mode="edge")
+        return _upsample2x_axis_h(vp)[:, :, 0, :]
 
     w3 = w                              # (3, 3, Cin, Cout), already scaled
     top = jnp.concatenate([x[:, 0, :1], up1d(x[:, 0]), x[:, 0, -1:]], axis=1)

@@ -19,9 +19,11 @@ the custom VJP in pgx/ops/warp.py reuses the kernel.  ``shift`` is treated
 as non-differentiable — in the augment pipe it derives from PRNG draws only
 (enforced with stop_gradient at the call site).
 
-Callers must size R (axis=3) / N (axis=2) to tile evenly (pgx/ops/warp.py
-rounds its shear-pass extents up to multiples of 64): every block stays
-in-bounds, so no masking logic is needed.
+The tiled (sublane) extent need not arrive tile-friendly: axis=3 zero-pads
+R up to a multiple of 8 when required (rows are independent lines, so the
+padding is exact and sliced off after the call).  This matters for the
+axis=2 big-extent fallback, whose transpose hands the kernel R = the
+original minor extent (e.g. 2*(w + 2*hz_pad), never a multiple of 8).
 """
 
 from __future__ import annotations
@@ -74,11 +76,14 @@ def _kernel_axis2(shift_ref, img_ref, out_ref, *, r):
 
 def _pick_tile(total: int, limit: int) -> int:
     """Largest divisor of ``total`` that is a multiple of 8 (Mosaic sublane
-    tiling) and <= limit; falls back to the full extent."""
-    for cand in range(min(total, limit) // 8 * 8, 0, -8):
+    tiling) and <= limit.  ``total`` must be a multiple of 8 (the axis=3
+    entry pads it up), so 8 always qualifies and the result is a true
+    divisor — never a VMEM-impossible full extent."""
+    assert total % 8 == 0, total
+    for cand in range(min(total, limit) // 8 * 8, 7, -8):
         if total % cand == 0:
             return cand
-    return total
+    return 8
 
 
 _VMEM_BLOCK_BUDGET = 2 * 1024 * 1024
@@ -89,12 +94,23 @@ def shift_1d_pallas(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
     """One fused shear pass on TPU.  See module docstring for the contract."""
     b, c, r, n = img.shape
     shift = shift.astype(jnp.float32)
-    bytes_per = jnp.dtype(img.dtype).itemsize
+    # _ladder upcasts sub-32-bit blocks to f32 (Mosaic only rotates 32-bit
+    # lanes), so VMEM occupancy is governed by 4-byte working copies even
+    # for bf16 inputs — size the tiles accordingly
+    bytes_per = max(jnp.dtype(img.dtype).itemsize, 4)
     if axis == 3:
+        r_out = r
+        pad_r = (-r) % 8
+        if pad_r:
+            # rows are independent lines: zero rows compute garbage that is
+            # sliced off below, so the padding is exact
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
+            shift = jnp.pad(shift, ((0, 0), (0, pad_r)))
+            r += pad_r
         tr = _pick_tile(r, max(8, _VMEM_BLOCK_BUDGET // (c * n * bytes_per)))
         if tr * c * n * bytes_per > 2 * _VMEM_BLOCK_BUDGET:
             tr = _pick_tile(r, 8)          # last resort for huge rows
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_kernel_axis3, n=n),
             out_shape=jax.ShapeDtypeStruct(img.shape, img.dtype),
             grid=(b, r // tr),
@@ -108,6 +124,7 @@ def shift_1d_pallas(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(shift[:, :, None], img)
+        return out[:, :, :r_out, :] if pad_r else out
     if axis == 2:
         # rolls cross the whole R extent, so R can't be tiled; blocks are
         # (1, 1, R, N) per channel.  For extents past the VMEM budget, go

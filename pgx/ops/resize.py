@@ -31,10 +31,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+# The bilinear 2x upsample as a zero-stuffing FIR: F4 = [1,3,3,1]/4, i.e.
+# the interleaved (0.25, 0.75) / (0.75, 0.25) phase taps below.  The fused
+# upsample->conv in pgx/core/layers.py composes its kernel from this same
+# constant so the two paths can never drift apart.
+UP_FIR = (0.25, 0.75, 0.75, 0.25)
+
+
 def _upsample2x_axis_h(p: jnp.ndarray) -> jnp.ndarray:
     """Interleaved 2-tap filter along axis 1 of an edge-padded NHWC array."""
-    even = 0.25 * p[:, :-2] + 0.75 * p[:, 1:-1]
-    odd = 0.75 * p[:, 1:-1] + 0.25 * p[:, 2:]
+    even = UP_FIR[0] * p[:, :-2] + UP_FIR[1] * p[:, 1:-1]
+    odd = UP_FIR[2] * p[:, 1:-1] + UP_FIR[3] * p[:, 2:]
     b, h, w, c = even.shape
     out = jnp.stack([even, odd], axis=2)  # (B, H, 2, W, C)
     return out.reshape(b, 2 * h, w, c)

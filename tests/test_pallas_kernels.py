@@ -173,6 +173,38 @@ def test_shift_1d_pallas_matches_jnp_ladder(axis):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_shift_1d_pallas_pads_untiled_rows():
+    """axis=3 with R not a multiple of 8 — the shape the axis=2 big-extent
+    fallback hands over (2*(w + 2*hz_pad) is never tile-friendly).  The
+    kernel must zero-pad to a Mosaic-tileable extent and slice back."""
+    from pgx.ops.pallas.shear import shift_1d_pallas
+    from pgx.ops.warp import _shift_1d_jnp
+
+    img = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 52, 128),
+                            jnp.float32)
+    shift = jax.random.normal(jax.random.PRNGKey(6), (2, 52)) * 30.0
+    want = _shift_1d_jnp(img, shift, 3)
+    got = shift_1d_pallas(img, shift, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_shift_1d_pallas_axis2_fallback_matches(monkeypatch):
+    """Force the axis=2 transpose fallback (tiny VMEM budget) with a minor
+    extent that is not a multiple of 8 — the 512px+ crash shape in
+    miniature.  Previously _pick_tile fell through to the full extent and
+    Mosaic got a VMEM-impossible block."""
+    import pgx.ops.pallas.shear as shear
+    from pgx.ops.warp import _shift_1d_jnp
+
+    monkeypatch.setattr(shear, "_VMEM_BLOCK_BUDGET", 1024)
+    img = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 64, 100),
+                            jnp.float32)
+    shift = jax.random.normal(jax.random.PRNGKey(8), (1, 100)) * 20.0
+    want = _shift_1d_jnp(img, shift, 2)
+    got = shear.shift_1d_pallas(img, shift, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_shift_1d_pallas_vjp_is_negated_shift():
     """The kernel's custom VJP reuses the forward with -shift; it must equal
     autodiff through the jnp ladder."""
