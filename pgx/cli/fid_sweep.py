@@ -42,6 +42,10 @@ def main(argv=None):
                         "incremental kid_score.json")
     p.add_argument("--kid-subset-size", type=int, default=1000)
     p.add_argument("--kid-subsets", type=int, default=100)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each Inception batch over this many devices "
+                        "(features identical to single-device; use a "
+                        "--batch-size divisible by it to avoid padding)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -74,7 +78,17 @@ def main(argv=None):
     if params is None:
         print("WARNING: no inception weights given — using random init; "
               "scores are NOT comparable to published FID", flush=True)
-    extractor = make_extractor(params=params)
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from pgx.parallel import make_mesh
+        devs = jax.devices()
+        if len(devs) < args.data_parallel:
+            raise SystemExit(f"--data-parallel {args.data_parallel} needs "
+                             f"that many devices; have {len(devs)}")
+        mesh = make_mesh(devs[:args.data_parallel])
+    extractor = make_extractor(params=params, mesh=mesh)
 
     scores = sweep_trial(args.trial, schedule, real,
                          num_samples=args.num_samples,

@@ -71,13 +71,42 @@ def preprocess(images: np.ndarray) -> np.ndarray:
 
 
 def make_extractor(params=None,
-                   key: Optional[jax.Array] = None) -> Callable:
-    """Jitted pool3 feature extractor; random-init params if none given."""
+                   key: Optional[jax.Array] = None,
+                   mesh=None) -> Callable:
+    """Jitted pool3 feature extractor; random-init params if none given.
+
+    With ``mesh`` (a 1-D ``('data',)`` mesh from ``pgx.parallel.make_mesh``)
+    the Inception forward runs data-parallel: params replicated, each batch
+    sharded over the mesh's devices under GSPMD — the eval-side counterpart
+    of the training/serving batch sharding.  Ragged final batches are
+    padded to a device multiple and sliced back, so features are identical
+    to the single-device extractor for any batch size (pinned by
+    tests/test_fid.py).
+    """
     if params is None:
         params = init_inception(key if key is not None
                                 else jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda x: inception_pool3(params, x))
-    return lambda batch: np.asarray(fwd(jnp.asarray(batch)))
+    if mesh is None:
+        fwd = jax.jit(lambda x: inception_pool3(params, x))
+        return lambda batch: np.asarray(fwd(jnp.asarray(batch)))
+
+    from pgx.parallel import batch_sharding, replicate
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    params_r = replicate(mesh, params)
+    in_sh = batch_sharding(mesh)
+    fwd = jax.jit(inception_pool3)
+
+    def run(batch):
+        b = len(batch)
+        pad = (-b) % n_dev
+        if pad:
+            batch = np.concatenate(
+                [batch, np.repeat(np.asarray(batch[-1:]), pad, axis=0)])
+        x = jax.device_put(jnp.asarray(batch), in_sh)
+        return np.asarray(fwd(params_r, x))[:b]
+
+    return run
 
 
 def get_activations(data: np.ndarray, extractor: Callable,

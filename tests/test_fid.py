@@ -102,6 +102,25 @@ def test_activations_batching_consistent():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_extractor_data_parallel_matches_single():
+    """make_extractor(mesh=...) shards each Inception batch over the
+    device mesh; features must match the single-device extractor bit-close,
+    including a batch NOT divisible by the mesh (padding + slice-back)."""
+    from pgx.eval.inception import init_inception
+    from pgx.parallel import make_mesh
+
+    params = init_inception(jax.random.PRNGKey(2))
+    mesh = make_mesh(jax.devices()[:4])
+    single = make_extractor(params=params)
+    sharded = make_extractor(params=params, mesh=mesh)
+    # 299x299 Inception forwards are slow on CPU: use tiny images and few
+    # samples (the pool3 head global-pools, so any size flows through)
+    x = np.random.RandomState(5).rand(6, 32, 32, 3).astype(np.float32)
+    np.testing.assert_allclose(sharded(x), single(x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sharded(x[:5]), single(x[:5]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_inception_pool3_matches_torch_oracle(tmp_path):
     """The #1 verification gap from round 2: the JAX InceptionV3 port vs an
     INDEPENDENT torch implementation of pytorch_fid's FID variant
