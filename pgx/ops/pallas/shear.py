@@ -107,9 +107,9 @@ def shift_1d_pallas(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
             img = jnp.pad(img, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
             shift = jnp.pad(shift, ((0, 0), (0, pad_r)))
             r += pad_r
+        # r is a multiple of 8 here, so this returns a true divisor <=
+        # max(8, limit): blocks never exceed ~max(budget, 8-row minimum)
         tr = _pick_tile(r, max(8, _VMEM_BLOCK_BUDGET // (c * n * bytes_per)))
-        if tr * c * n * bytes_per > 2 * _VMEM_BLOCK_BUDGET:
-            tr = _pick_tile(r, 8)          # last resort for huge rows
         out = pl.pallas_call(
             functools.partial(_kernel_axis3, n=n),
             out_shape=jax.ShapeDtypeStruct(img.shape, img.dtype),
