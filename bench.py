@@ -23,7 +23,7 @@ import numpy as np
 def bench_train_step(batch_size: int, dtype: str, steps: int,
                      fading: bool = False, gp_every: int = 1,
                      ada: bool = False, gp_mode: str = "reverse",
-                     steps_per_call: int = 1):
+                     steps_per_call: int = 1, fused_g: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +32,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
                            make_train_multi_step, make_train_step)
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
-    tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode)
+    tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode, fused_g=fused_g)
     aug_kwargs = {}
     if ada:
         from pgx.augment import AdaConfig, bgc_config
@@ -110,6 +110,9 @@ def main():
     p.add_argument("--gp-mode", default="reverse",
                    choices=["reverse", "jvp"],
                    help="GP gradient structure (TrainConfig.gp_mode)")
+    p.add_argument("--fused-g", action="store_true",
+                   help="FusedProp simultaneous update "
+                        "(TrainConfig.fused_g; changes G-step semantics)")
     p.add_argument("--steps-per-call", type=int, default=8,
                    help="iterations per device dispatch (lax.scan over the "
                         "identical single-step body; 1 = one jit call per "
@@ -126,7 +129,8 @@ def main():
                                     max(args.steps, args.steps_per_call * 3),
                                     gp_every=args.gp_every, ada=args.ada,
                                     gp_mode=args.gp_mode,
-                                    steps_per_call=args.steps_per_call)
+                                    steps_per_call=args.steps_per_call,
+                                    fused_g=args.fused_g)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -144,6 +148,8 @@ def main():
     metric = "images_per_sec_per_chip_128px_cond_gd_step"
     if args.ada:
         metric += "_ada"
+    if args.fused_g:
+        metric += "_fused"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),

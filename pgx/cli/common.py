@@ -62,6 +62,11 @@ def add_common_args(p: argparse.ArgumentParser,
                         "(reference-exact op order); 'jvp' = the exact "
                         "JVP-form surrogate (identical gradient, leaner "
                         "graph; see TrainConfig.gp_mode)")
+    p.add_argument("--fused-g", action="store_true",
+                   help="FusedProp simultaneous update: one joint gradient "
+                        "pass produces both networks' gradients (G steps "
+                        "against the pre-update D; ~1.2x at 128px, "
+                        "convergence-checked — benchmarks/README.md)")
     p.add_argument("--gp-every", type=int, default=1,
                    help="lazy regularization: apply the gradient penalty "
                         "every N iterations with lambda scaled by N "
@@ -234,3 +239,17 @@ def ada_configs_from_args(args):
     from pgx.augment import AdaConfig, bgc_config
     return bgc_config(), AdaConfig(ada_target=args.ada_target,
                                    ada_length=args.ada_length)
+
+
+def train_config_from_args(args):
+    """TrainConfig from the shared CLI flags.
+
+    Every training entry point builds the identical field set; keeping it
+    here means a new TrainConfig field is one edit, not eight (and a CLI
+    can't silently drop a flag argparse accepted).
+    """
+    from pgx.train import TrainConfig
+    return TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
+                       gp_every=args.gp_every, gp_mode=args.gp_mode,
+                       fused_g=args.fused_g, remat=args.remat,
+                       remat_policy=args.remat_policy)

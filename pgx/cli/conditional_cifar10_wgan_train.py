@@ -10,7 +10,8 @@ from pgx.cli.common import add_ada_args, ada_configs_from_args, \
     add_common_args, get_dataset, \
     maybe_init_multihost
 from pgx.models import zoo
-from pgx.train import LegacySchedule, TrainConfig
+from pgx.cli.common import train_config_from_args
+from pgx.train import LegacySchedule
 from pgx.train.loop import LoopConfig, train_loop
 
 
@@ -31,10 +32,7 @@ def main(argv=None):
     dcfg = zoo.conditional_discriminator_wgangp(
         feat_dim=args.channels, num_classes=args.num_classes,
         max_step=args.max_step, dtype=args.dtype)
-    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, gp_mode=args.gp_mode,
-                     remat=args.remat,
-                     remat_policy=args.remat_policy)
+    tc = train_config_from_args(args)
     schedule = LegacySchedule(args.total_iter, args.max_step, args.init_step)
     dataset = get_dataset(args, "cifar10", num_classes=args.num_classes)
 

@@ -16,7 +16,8 @@ from pgx.data import WikiArtDataset, synthetic_dataset
 from pgx.data.pipeline import (array_batches, normalize_to_unit,
                                ordered_map_pool)
 from pgx.models import zoo
-from pgx.train import ProperSchedule, TrainConfig
+from pgx.cli.common import train_config_from_args
+from pgx.train import ProperSchedule
 from pgx.train.loop import LoopConfig, train_loop
 
 
@@ -77,10 +78,7 @@ def main(argv=None):
             feat_dim=args.channels, num_classes=args.num_classes,
             do_equal_embed=args.equal_embed, max_step=args.max_step,
             dtype=args.dtype)
-    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, gp_mode=args.gp_mode,
-                     remat=args.remat,
-                     remat_policy=args.remat_policy)
+    tc = train_config_from_args(args)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
                               args.max_step, args.init_step,
                               stage_batches=parse_stage_batches(

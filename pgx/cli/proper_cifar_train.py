@@ -10,7 +10,8 @@ from pgx.cli.common import add_ada_args, ada_configs_from_args, \
     add_common_args, add_stage_batch_arg, get_dataset, \
     maybe_init_multihost, parse_stage_batches
 from pgx.models import zoo
-from pgx.train import ProperSchedule, TrainConfig
+from pgx.cli.common import train_config_from_args
+from pgx.train import ProperSchedule
 from pgx.train.loop import LoopConfig, train_loop
 
 
@@ -31,10 +32,7 @@ def main(argv=None):
     dcfg = zoo.correct_discriminator(feat_dim=args.channels,
                                      max_step=args.max_step,
                                      dtype=args.dtype)
-    tc = TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
-                     gp_every=args.gp_every, gp_mode=args.gp_mode,
-                     remat=args.remat,
-                     remat_policy=args.remat_policy)
+    tc = train_config_from_args(args)
     schedule = ProperSchedule(args.images_per_mini_step, args.batch_size,
                               args.max_step, args.init_step,
                               stage_batches=parse_stage_batches(

@@ -92,15 +92,17 @@ def make_extractor(params=None,
 
     from pgx.parallel import batch_sharding, replicate
 
-    if jax.process_count() > 1:
+    pi = jax.process_index()
+    if any(d.process_index != pi for d in mesh.devices.flat):
         # run() feeds host-local numpy and gathers features back with
         # np.asarray — neither is defined over non-addressable devices.
         # Evaluation is a host-side tool; refuse loudly (the convention
         # of make_mesh_for_batch) rather than erroring at the first batch.
+        # A mesh of this process's own devices is fine even multi-host.
         raise ValueError(
-            "make_extractor(mesh=...) is single-process only: build the "
-            "mesh from this process's jax.local_devices() and run the "
-            "sweep on one host")
+            "make_extractor(mesh=...) needs a fully-addressable mesh: "
+            "build it from this process's jax.local_devices() and run "
+            "the sweep on one host")
     n_dev = int(np.prod(mesh.devices.shape))
     params_r = replicate(mesh, params)
     in_sh = batch_sharding(mesh)

@@ -88,6 +88,19 @@ class TrainConfig:
     #   "d_only" — blanket-checkpoint only D's forwards (the GP
     #             double-backward path, where activation memory actually
     #             explodes); G keeps its residuals
+    fused_g: bool = False
+    # FusedProp-style simultaneous update (Tan et al., arXiv:2004.03335):
+    # for WGAN the G loss is exactly minus the D loss's fake term, so ONE
+    # joint gradient pass through D(G(z)) yields both the D gradient and
+    # (negated) the G gradient — the G step's separate D forward and
+    # backward-through-D disappear (1.14-1.21x at the 128px flagship).
+    # Two documented semantic trades vs the reference (fused_g=False is
+    # reference-exact):
+    #   * G's gradient is taken against the PRE-update D (simultaneous /
+    #     Jacobi update instead of the reference's Gauss-Seidel order);
+    #   * with ADA, G's gradient sees the same augmentation draw as the
+    #     D step's fake pass instead of a fresh one.
+    # Convergence-checked on real data (benchmarks/README.md "FusedProp").
 
     def __post_init__(self):
         # argparse choices guard the CLIs; programmatic construction (tests,
@@ -197,23 +210,20 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         else:
             aug_d_fake = aug_g_fake = lambda img: img
 
-        # NOTE (measured, round 3): do NOT run this G forward through the
-        # fused Pallas conv+epilogue kernel even though it is forward-only
-        # (stop_gradient).  XLA CSEs this subgraph with the G update's
-        # forward below (same params, same z), so it is already FREE when
-        # update_g; a different kernel here breaks the CSE and costs 6%
-        # end-to-end (130.2 -> 122.7 img/s at the 128px flagship).
-        fake = aug_d_fake(g_fwd(state["g"], z, lab, alpha))
-        fake = jax.lax.stop_gradient(fake)
-
         # --- D update -----------------------------------------------------
         eps = jax.random.uniform(keps, (bsz, 1, 1, 1), real.dtype)
-        x_hat = eps * real + (1.0 - eps) * fake
+        fused = bool(tc.fused_g) and update_g
 
-        def d_loss_fn(pd):
+        def d_loss_with(pd, fake_live):
+            # fake_live carries G-gradients in fused mode; the GP's x_hat
+            # never does — the reference interpolates against a detached
+            # fake (train.py:141-151), and FusedProp leaves the penalty
+            # on D alone
+            fake_sg = jax.lax.stop_gradient(fake_live)
+            x_hat = eps * real + (1.0 - eps) * fake_sg
             real_scores = d_fwd(pd, real, lab, alpha)
             aux_scores = real_scores
-            fake_scores = d_fwd(pd, fake, lab, alpha)
+            fake_scores = d_fwd(pd, fake_live, lab, alpha)
             real_drifted = (jnp.mean(real_scores)
                             - tc.drift * jnp.mean(jnp.square(real_scores)))
             if apply_gp and tc.gp_mode == "jvp":
@@ -259,8 +269,29 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             }
             return loss, (aux, aux_scores)
 
-        (d_total, (d_aux, real_logits)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state["d"])
+        if fused:
+            # FusedProp (TrainConfig.fused_g): one joint gradient pass
+            # through D(G(z)) produces the D gradient AND the (negated) G
+            # gradient — the fake forward is differentiated w.r.t. both
+            # parameter sets at once instead of once per network
+            def joint_loss_fn(pd, pg):
+                return d_loss_with(pd, aug_d_fake(g_fwd(pg, z, lab, alpha)))
+
+            (d_total, (d_aux, real_logits)), (d_grads, g_grads_neg) = (
+                jax.value_and_grad(joint_loss_fn, argnums=(0, 1),
+                                   has_aux=True)(state["d"], state["g"]))
+        else:
+            # NOTE (measured, round 3): do NOT run this G forward through
+            # the fused Pallas conv+epilogue kernel even though it is
+            # forward-only (stop_gradient).  XLA CSEs this subgraph with
+            # the G update's forward below (same params, same z), so it is
+            # already FREE when update_g; a different kernel here breaks
+            # the CSE and costs 6% end-to-end (130.2 -> 122.7 img/s at the
+            # 128px flagship).
+            fake = jax.lax.stop_gradient(
+                aug_d_fake(g_fwd(state["g"], z, lab, alpha)))
+            (d_total, (d_aux, real_logits)), d_grads = jax.value_and_grad(
+                d_loss_with, has_aux=True)(state["d"], fake)
         d_updates, opt_d = opt.update(d_grads, state["opt_d"], state["d"])
         new_d = optax.apply_updates(state["d"], d_updates)
 
@@ -282,13 +313,18 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         # adapt_augm.py:41): logged so ADA-p trajectories can be explained.
         metrics["ada_r"] = jnp.mean(jnp.sign(real_logits))
 
-        # --- G update (every n_critic iters; same z, updated D) -----------
+        # --- G update (every n_critic iters; same z, updated D — or, in
+        # fused mode, the joint pass's negated gradient vs pre-update D) ---
         if update_g:
-            def g_loss_fn(pg):
-                imgs = aug_g_fake(g_fwd(pg, z, lab, alpha))
-                return -jnp.mean(d_fwd(new_d, imgs, lab, alpha))
+            if fused:
+                g_grads = jax.tree.map(jnp.negative, g_grads_neg)
+                g_loss = -d_aux["fake_score"]
+            else:
+                def g_loss_fn(pg):
+                    imgs = aug_g_fake(g_fwd(pg, z, lab, alpha))
+                    return -jnp.mean(d_fwd(new_d, imgs, lab, alpha))
 
-            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
+                g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
             g_updates, opt_g = opt.update(g_grads, state["opt_g"], state["g"])
             new_g = optax.apply_updates(state["g"], g_updates)
             g_ema = _ema_update(state["g_ema"], new_g, tc.ema_decay)

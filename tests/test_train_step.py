@@ -658,3 +658,142 @@ def test_sharded_multi_step_scan_matches_single_device():
                         jax.tree.leaves(s_shard[part])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_fused_g_matches_joint_gradient_identity():
+    """TrainConfig.fused_g (FusedProp, arXiv:2004.03335): the D update must
+    be identical to the alternating step (the fake term's value and pd
+    gradient don't change when fake carries G-gradients), and the G update
+    must equal Adam applied to grad of -mean(D_old(G(z))) — i.e. the
+    alternating G step evaluated against the PRE-update D."""
+    import dataclasses
+
+    import optax
+
+    from pgx.models.discriminator import discriminator_apply
+    from pgx.models.generator import generator_apply
+    from pgx.train.wgan import make_optimizer
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    tc_fused = dataclasses.replace(tc, fused_g=True)
+    state = init_train_state(jax.random.PRNGKey(7), gcfg, dcfg, tc)
+    real = jnp.asarray(
+        np.random.RandomState(3).randn(8, 8, 8, 1).astype(np.float32))
+
+    fn_alt = make_train_step(gcfg, dcfg, tc, step=1, fading=False,
+                             donate=False)
+    fn_fus = make_train_step(gcfg, dcfg, tc_fused, step=1, fading=False,
+                             donate=False)
+    s_alt, m_alt = fn_alt(state, real, None, jnp.float32(1.0))
+    s_fus, m_fus = fn_fus(state, real, None, jnp.float32(1.0))
+
+    # D path identical (losses and updated params)
+    np.testing.assert_allclose(float(m_alt["d_total"]),
+                               float(m_fus["d_total"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_alt["d"]), jax.tree.leaves(s_fus["d"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # G update: reproduce the step's own z draw (white-box: the step splits
+    # its rng 6 ways and takes the second key for z)
+    _, kz, *_ = jax.random.split(state["rng"], 6)
+    z = jax.random.normal(kz, (8, gcfg.z_dim), jnp.float32)
+    alpha = jnp.float32(1.0)
+
+    def g_loss_fn(pg):
+        imgs = generator_apply(pg, gcfg, z, None, step=1, alpha=alpha,
+                               fading=False)
+        return -jnp.mean(discriminator_apply(
+            state["d"], dcfg, imgs, None, step=1, alpha=alpha,
+            fading=False).reshape(-1))
+
+    g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
+    opt = make_optimizer(tc)
+    upd, _ = opt.update(g_grads, state["opt_g"], state["g"])
+    want_g = optax.apply_updates(state["g"], upd)
+
+    np.testing.assert_allclose(float(m_fus["g_loss"]), float(g_loss),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(want_g), jax.tree.leaves(s_fus["g"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # and it differs from the alternating G (which uses the updated D)
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(s_alt["g"]),
+                             jax.tree.leaves(s_fus["g"]))]
+    assert max(diffs) > 0.0
+
+
+def test_fused_g_sharded_matches_single_device():
+    """fused_g under GSPMD data parallelism: the joint two-network gradient
+    reduces over the global batch the same way the separate passes do."""
+    import dataclasses
+
+    from pgx.parallel import make_mesh, replicate, shard_batch
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = dataclasses.replace(TrainConfig(), fused_g=True)
+    state = init_train_state(jax.random.PRNGKey(9), gcfg, dcfg, tc)
+    real = np.random.RandomState(6).randn(16, 8, 8, 1).astype(np.float32)
+
+    fn = make_train_step(gcfg, dcfg, tc, step=1, fading=False, donate=False)
+    s_single, m_single = fn(state, jnp.asarray(real), None, jnp.float32(1.0))
+
+    mesh = make_mesh()
+    s_shard, m_shard = fn(replicate(mesh, state), shard_batch(mesh, real),
+                          None, jnp.float32(1.0))
+
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]), rtol=1e-5)
+    for part in ("g", "d", "g_ema"):
+        for a, b in zip(jax.tree.leaves(s_single[part]),
+                        jax.tree.leaves(s_shard[part])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_fused_g_multi_step_scan_matches_singles():
+    """fused_g composes with the scanned dispatch: k scanned fused
+    iterations == k single fused dispatches (with ADA + gp_every to cover
+    the full production surface)."""
+    import dataclasses
+
+    from pgx.augment import AdaConfig, bgc_config
+    from pgx.train import make_train_multi_step
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = dataclasses.replace(TrainConfig(), fused_g=True, gp_every=2)
+    k = 4
+    acfg, ada = bgc_config(), AdaConfig(ada_length=100)
+    state0 = init_train_state(jax.random.PRNGKey(4), gcfg, dcfg, tc)
+    rs = np.random.RandomState(1)
+    reals = tuple(jnp.asarray(rs.randn(4, 8, 8, 1).astype(np.float32))
+                  for _ in range(k))
+    alphas = jnp.ones((k,), jnp.float32)
+
+    fns = {gp: make_train_step(gcfg, dcfg, tc, step=1, fading=False,
+                               apply_gp=gp, augment_cfg=acfg, ada_cfg=ada,
+                               donate=False)
+           for gp in (True, False)}
+    ref = jax.tree.map(jnp.copy, state0)
+    for i in range(k):
+        ref, _ = fns[i % tc.gp_every == 0](ref, reals[i], None, alphas[i])
+
+    multi = make_train_multi_step(gcfg, dcfg, tc, step=1, fading=False,
+                                  k=k, augment_cfg=acfg, ada_cfg=ada,
+                                  donate=False)
+    out, msum = multi(state0, reals, None, alphas)
+
+    assert int(out["iteration"]) == k
+    for part in ("g", "d", "g_ema"):
+        for a, b in zip(jax.tree.leaves(ref[part]),
+                        jax.tree.leaves(out[part])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7,
+                                       err_msg=part)
+    np.testing.assert_allclose(float(ref["ada"]["p"]),
+                               float(out["ada"]["p"]), atol=1e-7)
