@@ -1,13 +1,25 @@
 """Headline benchmark: images/sec/chip for a full G+D WGAN-GP train step at
-the 128x128 stage (BASELINE.md north-star).
+the 128x128 stage (BASELINE.md north-star), plus the DEFENSIBLE absolute
+numbers — sustained TFLOP/s and MFU (XLA-cost-analysis FLOPs / wall /
+chip peak).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Run bare (``python bench.py``, the driver invocation) it prints TWO JSON
+lines:
+  1. the production recipe (--gp-every 4 --fused-g --steps-per-call 8,
+     the documented fast path; semantics differ from the reference's exact
+     update order, see benchmarks/README.md),
+  2. LAST, the reference-exact iteration — the comparable series across
+     rounds, and the line a single-JSON-line consumer picks up.
+With any explicit flag it benches exactly the requested configuration and
+prints one line.
 
-``vs_baseline`` compares against the PyTorch reference running its own
-training iteration for the same workload on the hardware it supports here
-(CPU; the reference has no TPU path).  The reference-side measurement is
-cached in BASELINE_MEASURED.json by tools/measure_reference_baseline.py; if
-absent, vs_baseline is null.
+``vs_torch_cpu_reference`` compares against the PyTorch reference running
+its own training iteration for the same workload on the hardware it
+supports here (CPU; the reference has no TPU path) — a cross-hardware
+ratio that mostly measures TPU-vs-one-CPU-core, kept only because it is
+the only like-for-like reference measurement this box allows
+(BASELINE_MEASURED.json, tools/measure_reference_baseline.py).  The
+headline quality figure is ``mfu``.
 """
 
 from __future__ import annotations
@@ -15,15 +27,49 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# bf16 peak per chip, by device_kind substring (FLOP/s)
+_PEAK_BF16 = [
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 197e12),
+    ("v6", 918e12), ("trillium", 918e12),
+    ("v4", 275e12),
+    ("v3", 123e12), ("v2", 45e12),
+]
+
+
+def _chip_peak_flops() -> float | None:
+    env = os.environ.get("PGX_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _flops_per_call(jitted, *args) -> float | None:
+    """XLA cost-analysis FLOPs for one call of an already-jitted fn."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax: one dict/device
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
 
 def bench_train_step(batch_size: int, dtype: str, steps: int,
                      fading: bool = False, gp_every: int = 1,
                      ada: bool = False, gp_mode: str = "reverse",
-                     steps_per_call: int = 1, fused_g: bool = False):
+                     steps_per_call: int = 1, fused_g: bool = False,
+                     weights_cast: str = "site"):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +78,8 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
                            make_train_multi_step, make_train_step)
 
     gcfg, dcfg = _flagship_configs(dtype=dtype)
-    tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode, fused_g=fused_g)
+    tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode, fused_g=fused_g,
+                     weights_cast=weights_cast)
     aug_kwargs = {}
     if ada:
         from pgx.augment import AdaConfig, bgc_config
@@ -44,6 +91,29 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     real = jnp.asarray(rng.randn(batch_size, res, res, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, gcfg.num_classes, batch_size))
     alpha = jnp.float32(1.0)
+
+    # per-image FLOPs, ALWAYS from the single-step executables (XLA cost
+    # analysis counts a lax.scan body once, not k times, so the scanned
+    # dispatch's own analysis under-reports by exactly k).  With
+    # gp_every > 1 the cycle average weighs the two step variants.
+    def _per_image_flops():
+        f_gp = _flops_per_call(
+            make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+                            donate=False, **aug_kwargs),
+            state, real, labels, alpha)
+        if not f_gp:
+            return None
+        if gp_every > 1:
+            f_no = _flops_per_call(
+                make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+                                apply_gp=False, donate=False, **aug_kwargs),
+                state, real, labels, alpha)
+            if not f_no:
+                return None
+            f_gp = (f_gp + (gp_every - 1) * f_no) / gp_every
+        return f_gp / batch_size
+
+    fpi = _per_image_flops()
 
     if steps_per_call > 1:
         # the scanned dispatch is the SAME iteration stream (lax.scan over
@@ -64,7 +134,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
             state, metrics = mfn(state, reals, labs, alphas)
         float(metrics["d_total"])
         dt = time.perf_counter() - t0
-        return batch_size * k * nw / dt, metrics
+        return batch_size * k * nw / dt, metrics, fpi
 
     train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
                                  **aug_kwargs)
@@ -75,7 +145,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     # compile + warmup.  NOTE: on the axon-relay TPU platform
     # block_until_ready() returns before remote execution completes; only a
     # host fetch forces completion, so we time N chained steps and fetch one
-    # scalar at the end (the state dependency chain serializes the steps).
+    # scalar at the end (the state dependency chain serializes the steps.)
     state, metrics = train_step(state, real, labels, alpha)
     float(metrics["d_total"])
     for _ in range(2):
@@ -93,7 +163,58 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
         state, metrics = fn(state, real, labels, alpha)
     float(metrics["d_total"])
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, metrics
+    return batch_size * steps / dt, metrics, fpi
+
+
+def _bench_line(args, *, gp_every, fused_g, ada, metric_suffix=""):
+    ips, metrics, flops_per_image = bench_train_step(
+        args.batch_size, args.dtype,
+        max(args.steps, args.steps_per_call * 3),
+        gp_every=gp_every, ada=ada, gp_mode=args.gp_mode,
+        steps_per_call=args.steps_per_call, fused_g=fused_g,
+        weights_cast=args.weights_cast)
+
+    vs = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    # the measured reference baseline is the plain (non-ADA) iteration;
+    # an --ada run has no comparable reference number (the reference never
+    # wired its pipeline in), so the ratio stays null there
+    if os.path.exists(baseline_path) and not ada:
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_ips = ref.get("reference_images_per_sec")
+        if ref_ips:
+            vs = ips / ref_ips
+
+    tflops = mfu = None
+    if flops_per_image:
+        tflops = flops_per_image * ips / 1e12
+        peak = _chip_peak_flops()
+        if peak:
+            mfu = flops_per_image * ips / peak
+
+    metric = "images_per_sec_per_chip_128px_cond_gd_step"
+    if ada:
+        metric += "_ada"
+    if fused_g:
+        metric += "_fused"
+    metric += metric_suffix
+    print(json.dumps({
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "img/s",
+        # MFU is the defensible cross-hardware number (BASELINE.md): the
+        # torch-CPU ratio below is TPU-chip-vs-one-CPU-core, labeled as such
+        "mfu": round(mfu, 4) if mfu else None,
+        "tflops_per_s": round(tflops, 1) if tflops else None,
+        "vs_baseline": round(mfu, 4) if mfu else None,
+        "vs_baseline_metric": "mfu (fraction of chip bf16 peak)",
+        "vs_torch_cpu_reference": round(vs, 2) if vs else None,
+        "steps_per_call": args.steps_per_call,
+        "gp_every": gp_every,
+        "fused_g": fused_g,
+    }), flush=True)
 
 
 def main():
@@ -113,50 +234,39 @@ def main():
     p.add_argument("--fused-g", action="store_true",
                    help="FusedProp simultaneous update "
                         "(TrainConfig.fused_g; changes G-step semantics)")
+    p.add_argument("--weights-cast", default="site",
+                   choices=["site", "once"],
+                   help="per-conv scale+cast of the f32 masters (site) vs "
+                        "one barrier'd bf16 copy per forward (once); "
+                        "TrainConfig.weights_cast")
     p.add_argument("--steps-per-call", type=int, default=8,
                    help="iterations per device dispatch (lax.scan over the "
                         "identical single-step body; 1 = one jit call per "
                         "iteration)")
+    default_invocation = len(sys.argv) == 1
     args = p.parse_args()
+    try:
+        # the cost-analysis passes compile the single-step variants besides
+        # the scanned dispatch; persist the executables so repeat bench
+        # runs (and driver rounds) skip straight to execution
+        from pgx.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     if args.steps_per_call % max(args.gp_every, 1):
-        import sys
         print(f"steps_per_call={args.steps_per_call} is not a multiple of "
               f"gp_every={args.gp_every}; falling back to single-step "
               f"dispatch", file=sys.stderr)
         args.steps_per_call = 1          # scan needs k % gp_every == 0
 
-    ips, metrics = bench_train_step(args.batch_size, args.dtype,
-                                    max(args.steps, args.steps_per_call * 3),
-                                    gp_every=args.gp_every, ada=args.ada,
-                                    gp_mode=args.gp_mode,
-                                    steps_per_call=args.steps_per_call,
-                                    fused_g=args.fused_g)
-
-    vs = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    # the measured reference baseline is the plain (non-ADA) iteration;
-    # an --ada run has no comparable reference number (the reference never
-    # wired its pipeline in), so vs_baseline stays null there
-    if os.path.exists(baseline_path) and not args.ada:
-        with open(baseline_path) as f:
-            ref = json.load(f)
-        ref_ips = ref.get("reference_images_per_sec")
-        if ref_ips:
-            vs = ips / ref_ips
-
-    metric = "images_per_sec_per_chip_128px_cond_gd_step"
-    if args.ada:
-        metric += "_ada"
-    if args.fused_g:
-        metric += "_fused"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "steps_per_call": args.steps_per_call,
-    }))
+    if default_invocation:
+        # production recipe first; the reference-exact line LAST (it is the
+        # round-over-round comparable series, and the line a one-JSON-line
+        # consumer keeps)
+        _bench_line(args, gp_every=4, fused_g=True, ada=False,
+                    metric_suffix="_production_gp4")
+    _bench_line(args, gp_every=args.gp_every, fused_g=args.fused_g,
+                ada=args.ada)
 
 
 if __name__ == "__main__":

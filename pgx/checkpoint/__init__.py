@@ -160,7 +160,8 @@ def resolve_checkpoint(trial_dir: str, checkpoint: Optional[int] = None,
 
 
 def load_generator_state(trial_dir: str, schedule,
-                         checkpoint: Optional[int] = None):
+                         checkpoint: Optional[int] = None,
+                         path: Optional[str] = None):
     """Load a trial's EMA generator the way the reference's samplers do
     (fid/load_mnist_model_and_fid_it.py:27-35,94-100): resolve the
     pin-or-latest ``*_g.model``, load params, and re-derive the growth
@@ -169,10 +170,16 @@ def load_generator_state(trial_dir: str, schedule,
     ``schedule.state_at(N - 1)`` — the single place that off-by-one
     convention lives.
 
+    ``path`` loads an already-resolved checkpoint file directly (sweeps
+    iterate over ``list_checkpoints`` results; round-tripping those through
+    the iteration number would re-derive a zero-padded name that a
+    hand-renamed file need not match).
+
     Returns ``(gpath, params, iteration, state)``; ``state`` is None when
     ``schedule`` is None.
     """
-    gpath = resolve_checkpoint(trial_dir, checkpoint, "g")
+    gpath = path if path is not None else resolve_checkpoint(
+        trial_dir, checkpoint, "g")
     params = load_params(gpath)
     iteration = checkpoint_iteration(gpath)
     state = (schedule.state_at(max(iteration - 1, 0))

@@ -72,6 +72,11 @@ def add_common_args(p: argparse.ArgumentParser,
                         "every N iterations with lambda scaled by N "
                         "(1 = reference-exact; 4 trains ~1.4x faster, "
                         "convergence-checked in benchmarks/README.md)")
+    p.add_argument("--weights-cast", default="site",
+                   choices=["site", "once"],
+                   help="bf16 runs: scale+cast the f32 master weights at "
+                        "every conv (site) or materialize one bf16 copy "
+                        "per forward (once); TrainConfig.weights_cast")
     p.add_argument("--init-step", type=int,
                    default=defaults.get("init_step", 1))
     p.add_argument("--max-step", type=int,
@@ -229,6 +234,12 @@ def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "controller (bgc policy)")
     p.add_argument("--ada-target", type=float, default=0.6)
     p.add_argument("--ada-length", type=int, default=500000)
+    p.add_argument("--ada-warp", default="shear",
+                   choices=["shear", "gather"],
+                   help="geometric-warp backend: 'shear' = the TPU fast "
+                        "path (exact except bounded deviation on rotations; "
+                        "seed-matched convergence control in benchmarks/"
+                        "README.md); 'gather' = the bit-parity oracle")
     return p
 
 
@@ -237,8 +248,9 @@ def ada_configs_from_args(args):
     if not getattr(args, "ada", False):
         return None, None
     from pgx.augment import AdaConfig, bgc_config
-    return bgc_config(), AdaConfig(ada_target=args.ada_target,
-                                   ada_length=args.ada_length)
+    return (bgc_config(warp_impl=getattr(args, "ada_warp", "shear")),
+            AdaConfig(ada_target=args.ada_target,
+                      ada_length=args.ada_length))
 
 
 def train_config_from_args(args):
@@ -252,4 +264,5 @@ def train_config_from_args(args):
     return TrainConfig(learning_rate=args.lr, n_critic=args.n_critic,
                        gp_every=args.gp_every, gp_mode=args.gp_mode,
                        fused_g=args.fused_g, remat=args.remat,
-                       remat_policy=args.remat_policy)
+                       remat_policy=args.remat_policy,
+                       weights_cast=getattr(args, "weights_cast", "site"))

@@ -95,16 +95,22 @@ def main(argv=None):
                          batch_size=args.batch_size, extractor=extractor,
                          kid=args.kid, kid_subset_size=args.kid_subset_size,
                          kid_subsets=args.kid_subsets)
-    # exclude entries still marked in-training (per-stage baseline, no
+    # segregate entries still marked in-training (per-stage baseline, no
     # checkpoint file to re-score from): not comparable to the sweep's
+    # native-resolution baseline, so they must not leak into best-of or
+    # into the returned comparable set
     from pgx.eval.sweep import load_fid_meta
     meta = load_fid_meta(args.trial)
     comparable = {k: v for k, v in scores.items() if k not in meta}
+    leftover = {k: v for k, v in scores.items() if k in meta}
     best = (min(comparable.items(), key=lambda kv: kv[1])
             if comparable else None)
     if best:
         print(f"best: {best[0]} FID={best[1]:.2f}")
-    return scores
+    for k in sorted(leftover):
+        print(f"note: {k} keeps its in-training per-stage baseline "
+              f"(no checkpoint file to re-score from); excluded from best")
+    return {"comparable": comparable, "in_training": leftover}
 
 
 if __name__ == "__main__":

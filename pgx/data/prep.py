@@ -14,8 +14,9 @@ section 2.7 / L7).
 * filename sanitizer (data/rename_images.py): strips '&#;?'.
 * checkpoint unloader (data/checkpoint_unloader.py): unzip archives into
   flat checkpoint/ and drop non-model files.
-* robust image loading with a fallback chain (data/utils.py:10-21 uses
-  pyvips -> PIL -> cv2; here PIL -> cv2).
+* robust image loading with the reference-complete fallback chain
+  (data/utils.py:10-21): pyvips -> PIL -> cv2, each link engaging when
+  its library is importable (this image ships PIL + a headless cv2).
 """
 
 from __future__ import annotations
@@ -30,7 +31,20 @@ import numpy as np
 
 
 def load_image(path: str, dtype=np.uint8) -> np.ndarray:
-    """Image loading with fallback chain (PIL, then cv2 if present)."""
+    """Image loading with the reference's fallback chain
+    (data/utils.py:10-21): pyvips (libvips sequential access — the
+    README-mandated native dependency), then PIL, then cv2.  Each link is
+    optional; whichever decodes first wins."""
+    try:
+        import pyvips
+        im = pyvips.Image.new_from_file(path, access="sequential")
+        arr = np.ndarray(buffer=im.write_to_memory(), dtype=np.uint8,
+                         shape=(im.height, im.width, im.bands))
+        if arr.shape[-1] == 1:                   # grayscale -> RGB
+            arr = np.repeat(arr, 3, axis=-1)
+        return arr[..., :3].astype(dtype)        # drop any alpha band
+    except Exception:
+        pass   # pyvips absent (this image) or failed: next link
     try:
         from PIL import Image
         im = Image.open(path)

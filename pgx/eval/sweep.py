@@ -151,7 +151,7 @@ def sweep_trial(trial_dir: str, schedule, real_data: np.ndarray,
                 and (not kid or name in kid_scores)):
             continue
         _, params, _, st = ckpt.load_generator_state(
-            trial_dir, schedule, ckpt.checkpoint_iteration(path))
+            trial_dir, schedule, path=path)
         samples = generate_samples(
             params, gcfg, step=st.step, alpha=st.alpha, fading=st.fading,
             num_samples=num_samples, batch_size=batch_size,

@@ -68,7 +68,15 @@ class LoopConfig:
                                     # 0 == auto: time a few single steps at
                                     # each stage start and pick the window
                                     # (16 for dispatch-bound stages, 8 for
-                                    # borderline, 1 once device-bound)
+                                    # borderline, 1 once device-bound,
+                                    # always capped so one window stays
+                                    # well under a SIGTERM grace period).
+                                    # NOTE: a dispatched window cannot be
+                                    # interrupted — on SIGTERM the emergency
+                                    # checkpoint lands after the in-flight
+                                    # window drains, so an explicit large N
+                                    # needs a kill grace period covering
+                                    # N x the per-step time
     model_parallel: int = 1         # model-axis shards (pgx/parallel/tp.py)
     model_parallel_mode: str = "channels"   # "channels" (TP) | "spatial"
     verbose: bool = True
@@ -407,32 +415,39 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     sample_z, sample_labels, sample_nrow = _sample_grid_inputs(
         gcfg, loop_cfg, sample_rng)
 
+    # in-training FID works multihost too: the metric pass itself is a
+    # process-0-local computation over a HOST copy of the EMA params — no
+    # other process enters its jits.  Non-main processes only participate
+    # in the collective EMA gather when the state is sharded across hosts
+    # (model parallelism); with replicated params they skip the tick
+    # entirely and the usual async-dispatch headroom absorbs process 0's
+    # scoring time.  The real baseline is process 0's host slice of the
+    # dataset (deterministic; entries are marked in-training and re-scored
+    # by any post-hoc sweep anyway).
     fid_hook = None
-    if loop_cfg.fid_every > 0:
-        if n_hosts > 1:
-            if is_main:
-                import warnings
-                warnings.warn("--fid-every is single-host only (the metric "
-                              "pass would need every process in its jits); "
-                              "run pgx.cli.fid_sweep post-hoc",
-                              RuntimeWarning)
-        elif is_main:
-            from pgx.eval.sweep import TrainingFid
-            extractor = None
-            if loop_cfg.inception_weights:
-                from pgx.eval.fid import make_extractor
-                from pgx.eval.inception import load_torch_weights
-                extractor = make_extractor(
-                    load_torch_weights(loop_cfg.inception_weights))
-            try:
-                fid_hook = TrainingFid(dataset, gcfg,
-                                       num_samples=loop_cfg.fid_samples,
-                                       extractor=extractor,
-                                       seed=loop_cfg.seed,
-                                       gen_cache=gen_cache)
-            except TypeError as e:   # folder/wikiart pipelines
-                import warnings
-                warnings.warn(str(e), RuntimeWarning)
+    # the folder/wikiart gate is evaluated on EVERY process (same dataset
+    # type everywhere) so the per-tick collective-gather branch below is
+    # SPMD-consistent
+    fid_ticks = loop_cfg.fid_every > 0 and hasattr(dataset, "at_resolution")
+    if loop_cfg.fid_every > 0 and not fid_ticks and is_main:
+        import warnings
+        warnings.warn("in-training FID needs an array-backed dataset with "
+                      "per-resolution caches; for folder/WikiArt pipelines "
+                      "run pgx.cli.fid_sweep post-hoc", RuntimeWarning)
+    if fid_ticks and is_main:
+        from pgx.eval.sweep import TrainingFid
+        extractor = None
+        if loop_cfg.inception_weights:
+            from pgx.eval.fid import make_extractor
+            from pgx.eval.inception import load_torch_weights
+            extractor = make_extractor(
+                load_torch_weights(loop_cfg.inception_weights))
+        fid_hook = TrainingFid(dataset, gcfg,
+                               num_samples=loop_cfg.fid_samples,
+                               extractor=extractor,
+                               seed=loop_cfg.seed,
+                               gen_cache=gen_cache if n_hosts == 1
+                               else None)
 
     prefetcher = None
     current_res = None
@@ -463,10 +478,14 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         """Window for a measured single-step time: dispatch overhead is
         ~2-3 ms/step (benchmarks/README.md 'Scanned multi-step dispatch'),
         so scanning pays big below ~20 ms, modestly below ~60, and only
-        compile time above."""
+        compile time above.  The window is additionally capped so one
+        uninterruptible dispatch stays under ~5 s of device time: the
+        SIGTERM emergency checkpoint can only land after the in-flight
+        window drains, and it must beat the orchestrator's SIGKILL."""
         base = 16 if ms < 20.0 else (8 if ms < 60.0 else 1)
         if base == 1:
             return 1
+        base = min(base, max(1, int(5000.0 / max(ms, 1e-3))))
         return max(tc.gp_every * max(1, base // tc.gp_every), 1)
 
     # TPU-pod preemption / managed-job shutdown arrives as SIGTERM, not
@@ -628,16 +647,25 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 except OSError:
                     pass  # reference behavior: never die on a ckpt write
 
-            if fid_hook is not None and it % loop_cfg.fid_every == 0:
-                try:
-                    fid = fid_hook.score(trial_dir, it, state["g_ema"], st)
-                    if loop_cfg.verbose:
-                        print(f"{it}; FID: {fid:.4f} (res {st.resolution})",
-                              flush=True)
-                except Exception as e:   # metric failure never kills a run
-                    import warnings
-                    warnings.warn(f"in-training FID failed at {it}: {e}",
-                                  RuntimeWarning)
+            if fid_ticks and it % loop_cfg.fid_every == 0:
+                ema = state["g_ema"]
+                if n_hosts > 1 and (is_main
+                                    or needs_cross_host_gather(ema)):
+                    # multihost: the metric pass runs process-0-local over
+                    # a host copy of the EMA params; non-main processes
+                    # participate only in the collective gather (model-
+                    # parallel shardings), mirroring the sample-grid path
+                    ema = host_copy(ema)
+                if fid_hook is not None:
+                    try:
+                        fid = fid_hook.score(trial_dir, it, ema, st)
+                        if loop_cfg.verbose:
+                            print(f"{it}; FID: {fid:.4f} "
+                                  f"(res {st.resolution})", flush=True)
+                    except Exception as e:   # metric failure never kills
+                        import warnings
+                        warnings.warn(f"in-training FID failed at {it}: "
+                                      f"{e}", RuntimeWarning)
 
             if it % loop_cfg.log_every == 0 and count:
                 vals = {k: float(v) / count for k, v in sums.items()}

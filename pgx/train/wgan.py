@@ -88,6 +88,18 @@ class TrainConfig:
     #   "d_only" — blanket-checkpoint only D's forwards (the GP
     #             double-backward path, where activation memory actually
     #             explodes); G keeps its residuals
+    weights_cast: str = "site"
+    # Where the f32 master params become compute-dtype weights (bf16 runs):
+    #   "site" — scale+cast at every conv apply (pgx/core/layers.py); XLA
+    #            CSEs identical converts within the step but may also fuse
+    #            them into consumers, re-reading f32 weight bytes per pass
+    #   "once" — materialize one barrier'd bf16 copy of each param tree at
+    #            the top of every forward; all passes read bf16 bytes.
+    #            Gradient flow to the f32 masters is unchanged; rounding
+    #            differs from "site" only in scale-application order.
+    # Measured at the 128px flagship: no throughput difference (the step is
+    # MXU-bound, weight bytes are noise — see benchmarks/README.md HBM
+    # roofline); kept as the recorded experiment + knob for wider nets.
     fused_g: bool = False
     # FusedProp-style simultaneous update (Tan et al., arXiv:2004.03335):
     # for WGAN the G loss is exactly minus the D loss's fake term, so ONE
@@ -100,6 +112,10 @@ class TrainConfig:
     #     Jacobi update instead of the reference's Gauss-Seidel order);
     #   * with ADA, G's gradient sees the same augmentation draw as the
     #     D step's fake pass instead of a fresh one.
+    # The logged g_loss also changes meaning: it is measured against the
+    # PRE-update D with the D step's augmentation draw (the alternating
+    # step logs it against the post-update D with a fresh draw), so g_loss
+    # columns are not comparable across runs differing in fused_g.
     # Convergence-checked on real data (benchmarks/README.md "FusedProp").
 
     def __post_init__(self):
@@ -108,6 +124,9 @@ class TrainConfig:
         if self.gp_mode not in ("reverse", "jvp"):
             raise ValueError(f"gp_mode must be 'reverse' or 'jvp', "
                              f"got {self.gp_mode!r}")
+        if self.weights_cast not in ("site", "once"):
+            raise ValueError(f"weights_cast must be 'site' or 'once', "
+                             f"got {self.weights_cast!r}")
         if self.remat_policy not in ("full", "convs", "d_only"):
             raise ValueError(f"remat_policy must be 'full', 'convs' or "
                              f"'d_only', got {self.remat_policy!r}")
@@ -162,11 +181,30 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     conditional = gcfg.conditioning != "none"
     opt = make_optimizer(tc)
 
+    def _cast_once(params: Params, cdt) -> Params:
+        """weights_cast='once': materialize ONE compute-dtype copy of the
+        f32 master params per step (optimization_barrier stops XLA from
+        re-fusing the converts into every consumer), so the step's seven
+        forward/backward passes read bf16 weight bytes from HBM instead of
+        re-reading the f32 masters at each conv.  Gradients still flow to
+        the f32 masters through the cast.  Numerics: the equalized-LR
+        scale is applied after the rounding instead of before — not
+        bitwise the 'site' path, same precision class."""
+        cdt = jnp.dtype(cdt)
+        if tc.weights_cast != "once" or cdt == jnp.float32:
+            return params
+        cast = jax.tree.map(
+            lambda a: a.astype(cdt)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        return jax.lax.optimization_barrier(cast)
+
     def g_fwd(params: Params, z, labels, alpha):
+        params = _cast_once(params, gcfg.compute_dtype)
         return generator_apply(params, gcfg, z, labels, step=step,
                                alpha=alpha, fading=fading)
 
     def d_fwd(params: Params, img, labels, alpha):
+        params = _cast_once(params, dcfg.compute_dtype)
         out = discriminator_apply(params, dcfg, img, labels, step=step,
                                   alpha=alpha, fading=fading,
                                   stddev_axis_name=stddev_axis_name)
@@ -318,6 +356,12 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         if update_g:
             if fused:
                 g_grads = jax.tree.map(jnp.negative, g_grads_neg)
+                # metric caveat: in fused mode the logged g_loss is
+                # -mean(D_pre(aug_d(G(z)))) — the PRE-update D with the D
+                # step's augmentation draw — whereas the alternating step
+                # logs -mean(D_post(aug_g(G(z)))).  Both measure "how well
+                # G fools D" but are not comparable across runs that differ
+                # in fused_g (see benchmarks/README.md FusedProp notes).
                 g_loss = -d_aux["fake_score"]
             else:
                 def g_loss_fn(pg):

@@ -153,6 +153,58 @@ def test_inception_pool3_matches_torch_oracle(tmp_path):
     np.testing.assert_allclose(feats_jax, feats_t, rtol=1e-6, atol=1e-6)
 
 
+def test_load_torch_weights_torchvision_layout(tmp_path):
+    """The drop-in weights procedure (docs/MIGRATING.md) accepts BOTH
+    supported checkpoint layouts: pytorch_fid's pt_inception-2015-12-05
+    state_dict and a stock torchvision ``inception_v3`` state_dict.  The
+    torchvision layout carries extra heads the FID path never uses
+    (``AuxLogits.*``, ``fc.*``) and the same backbone keys — the loader
+    must ignore the extras and produce identical params."""
+    import torch
+
+    from pgx.eval.inception import load_torch_weights
+    from tests.torch_fid_inception import FIDInceptionV3, randomize_
+
+    model = randomize_(FIDInceptionV3(), seed=7).eval()
+    base_sd = model.state_dict()
+
+    # pt_inception-2015-12-05 layout: backbone + 1008-class fc head
+    fid_sd = dict(base_sd)
+    fid_sd["fc.weight"] = torch.zeros(1008, 2048)
+    fid_sd["fc.bias"] = torch.zeros(1008)
+    fid_path = os.path.join(str(tmp_path), "pt_inception.pt")
+    torch.save(fid_sd, fid_path)
+
+    # torchvision inception_v3 layout: backbone + AuxLogits + 1000-class fc
+    tv_sd = dict(base_sd)
+    for name, shape in [("AuxLogits.conv0.conv.weight", (128, 768, 1, 1)),
+                        ("AuxLogits.conv0.bn.weight", (128,)),
+                        ("AuxLogits.conv0.bn.bias", (128,)),
+                        ("AuxLogits.conv0.bn.running_mean", (128,)),
+                        ("AuxLogits.conv0.bn.running_var", (128,)),
+                        ("AuxLogits.conv1.conv.weight", (768, 128, 5, 5)),
+                        ("AuxLogits.conv1.bn.weight", (768,)),
+                        ("AuxLogits.conv1.bn.bias", (768,)),
+                        ("AuxLogits.conv1.bn.running_mean", (768,)),
+                        ("AuxLogits.conv1.bn.running_var", (768,)),
+                        ("AuxLogits.fc.weight", (1000, 768)),
+                        ("AuxLogits.fc.bias", (1000,)),
+                        ("fc.weight", (1000, 2048)),
+                        ("fc.bias", (1000,))]:
+        tv_sd[name] = torch.zeros(*shape)
+    tv_path = os.path.join(str(tmp_path), "torchvision_inception_v3.pt")
+    torch.save(tv_sd, tv_path)
+
+    p_fid = load_torch_weights(fid_path)
+    p_tv = load_torch_weights(tv_path)
+    assert set(p_tv.keys()) == set(p_fid.keys()) \
+        == set(init_inception(jax.random.PRNGKey(0)))
+    for name in p_fid:
+        for leaf in p_fid[name]:
+            np.testing.assert_array_equal(np.asarray(p_fid[name][leaf]),
+                                          np.asarray(p_tv[name][leaf]))
+
+
 def test_fid_end_to_end_matches_torch_stack(tmp_path):
     """End-to-end FID equality of the two stacks (preprocess -> pool3 ->
     statistics -> Frechet) on synthetic data, f32 — the configuration the

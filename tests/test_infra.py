@@ -304,6 +304,37 @@ def test_compile_cache_persists_across_processes(tmp_path):
     assert run() == n1                   # second process: hits, no new keys
 
 
+def test_compile_cache_scoped_by_host_fingerprint(tmp_path, monkeypatch):
+    """Entries written under a different machine's fingerprint must not be
+    reused: XLA:CPU AOT executables specialize on host CPU features beyond
+    XLA's own cache key (observed as cpu_aot_loader machine-type-mismatch
+    errors when one cache dir was shared across driver hosts)."""
+    from pgx.utils import compile_cache
+
+    real = compile_cache.host_fingerprint()
+    assert compile_cache.host_fingerprint() == real   # stable per host
+
+    # a cache tree "written on another machine" (different CPU features)
+    monkeypatch.setattr(compile_cache, "_cpu_feature_flags",
+                        lambda: "avx512_vnni amx_tile some_other_machine")
+    other = compile_cache.host_fingerprint()
+    assert other != real
+
+    import jax
+    saved = jax.config.jax_compilation_cache_dir
+    try:
+        d_other = compile_cache.enable_compilation_cache(str(tmp_path))
+        monkeypatch.undo()
+        d_real = compile_cache.enable_compilation_cache(str(tmp_path))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
+
+    # both subtrees live under the requested base, but never alias
+    assert d_other == str(tmp_path / other)
+    assert d_real == str(tmp_path / real)
+    assert d_other != d_real
+
+
 def test_restore_refuses_planted_non_py_files(tmp_path):
     """Manifest verification must flag EVERY unlisted file, not just .py:
     a planted .so/.pyc would shadow the verified source under the

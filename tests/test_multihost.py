@@ -42,6 +42,10 @@ def test_two_process_training(tmp_path):
             # iterations 4..8 run as one scanned window: covers the
             # multi-step dispatch under real multi-process SPMD
             "--steps-per-call", "4",
+            # in-training FID tick under multihost: the metric pass runs
+            # process-0-local over a host copy of the replicated EMA
+            # (pgx/train/loop.py); process 1 skips the tick entirely
+            "--fid-every", "8", "--fid-samples", "16",
             "--output", str(tmp_path),
         ]
         procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
@@ -63,6 +67,12 @@ def test_two_process_training(tmp_path):
     assert any(n.endswith("_g.model") for n in ckpts), ckpts
     samples = os.listdir(os.path.join(trial, "sample"))
     assert samples
+    # the in-training FID tick scored the EMA net on the main host
+    import json
+    with open(os.path.join(trial, "fid_score.json")) as f:
+        fid_scores = json.load(f)
+    assert fid_scores and all(
+        float(v) >= 0 for v in fid_scores.values()), fid_scores
     # losses logged and finite
     logs = [n for n in os.listdir(trial) if n.startswith("train_log")]
     with open(os.path.join(trial, logs[0])) as f:
@@ -212,6 +222,9 @@ def test_two_process_model_parallel(tmp_path):
             "--total-iter", "8", "--batch-size", "8", "--channels", "8",
             "--max-step", "2", "--sample-every", "4",
             "--checkpoint-every", "4", "--log-every", "4",
+            # FID tick with CROSS-HOST-sharded params: every process must
+            # enter the collective EMA gather before process 0 scores
+            "--fid-every", "8", "--fid-samples", "16",
             "--output", str(tmp_path),
         ]
         procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
@@ -237,3 +250,8 @@ def test_two_process_model_parallel(tmp_path):
     leaves = [np.asarray(a) for a in __import__("jax").tree.leaves(params)]
     assert all(np.all(np.isfinite(a.astype(np.float32))) for a in leaves)
     assert os.listdir(os.path.join(trial, "sample"))
+    # the FID tick ran over the collectively-gathered EMA params
+    import json
+    with open(os.path.join(trial, "fid_score.json")) as f:
+        fid_scores = json.load(f)
+    assert fid_scores, fid_scores

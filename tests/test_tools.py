@@ -156,6 +156,90 @@ def test_cut_face_with_stub_detector():
     assert crop.shape == (40, 40, 3)
 
 
+def test_cv2_haar_detector_wiring(monkeypatch):
+    """The cv2 Haar cascade path (reference detector fallback;
+    face_detection_tests.py uses MTCNN, cv2 ships the only detector a bare
+    opencv wheel can provide).  This image's headless cv2 has no
+    CascadeClassifier, so the wiring is exercised with a stub module
+    implementing the cv2 surface the code consumes: default_face_detector
+    must pick the LARGEST box and cut_face must center on it."""
+    import sys
+    import types
+
+    class FakeCascade:
+        def __init__(self, path):
+            self.path = path
+
+        def empty(self):
+            return False
+
+        def detectMultiScale(self, gray, scale, neighbors):
+            assert gray.ndim == 2
+            # (x, y, w, h) boxes; the second is larger and must win
+            return [(5, 5, 4, 4), (80, 10, 20, 20)]
+
+    fake = types.ModuleType("cv2")
+    fake.CascadeClassifier = FakeCascade
+    fake.data = types.SimpleNamespace(haarcascades="/stub/")
+    fake.cvtColor = lambda img, code: img.mean(axis=-1).astype(np.uint8)
+    fake.COLOR_RGB2GRAY = 7
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+    prep.default_face_detector.cache_clear()
+    try:
+        det = prep.default_face_detector()
+        assert det is not None
+        img = np.zeros((60, 120, 3), np.uint8)
+        assert det(img) == (90, 20)          # center of the larger box
+        crop = prep.cut_face(img, detector=det)
+        assert crop.shape == (60, 60, 3)
+
+        # an empty/corrupt cascade reads as "no detector installed"
+        monkeypatch.setattr(FakeCascade, "empty", lambda self: True)
+        prep.default_face_detector.cache_clear()
+        assert prep.default_face_detector() is None
+    finally:
+        prep.default_face_detector.cache_clear()
+
+
+def test_load_image_pyvips_first_link(monkeypatch, tmp_path):
+    """The loader chain is reference-complete (pyvips -> PIL -> cv2,
+    data/utils.py:10-21): when pyvips is importable its sequential-access
+    decode is used FIRST, including gray->RGB expansion and alpha drop."""
+    import sys
+    import types
+
+    decoded = np.arange(6 * 4, dtype=np.uint8).reshape(6, 4, 1)
+
+    class FakeVipsImage:
+        height, width, bands = 6, 4, 1
+
+        @staticmethod
+        def new_from_file(path, access=None):
+            assert access == "sequential"      # the reference's mode
+            return FakeVipsImage()
+
+        def write_to_memory(self):
+            return decoded.tobytes()
+
+    fake = types.ModuleType("pyvips")
+    fake.Image = FakeVipsImage
+    monkeypatch.setitem(sys.modules, "pyvips", fake)
+
+    out = prep.load_image(str(tmp_path / "does_not_exist.png"))
+    assert out.shape == (6, 4, 3)              # gray expanded to RGB
+    np.testing.assert_array_equal(out[..., 0], decoded[..., 0])
+    np.testing.assert_array_equal(out[..., 2], decoded[..., 0])
+
+    # without pyvips the chain still decodes real files via PIL
+    monkeypatch.delitem(sys.modules, "pyvips")
+    from PIL import Image
+    ref = np.zeros((5, 7, 3), np.uint8)
+    ref[2, 3] = (9, 8, 7)
+    p = tmp_path / "real.png"
+    Image.fromarray(ref).save(p)
+    np.testing.assert_array_equal(prep.load_image(str(p)), ref)
+
+
 def test_metadata_and_rename(tmp_path):
     from PIL import Image
 

@@ -444,6 +444,46 @@ def test_remat_matches_plain_step():
             outs["plain"], outs[key])
 
 
+def test_weights_cast_once_matches_site():
+    """weights_cast='once' (one barrier'd bf16 copy of the masters per
+    forward) is a memory-traffic layout change: in f32 it is an exact
+    no-op, and in bf16 it differs from the per-site scale+cast only in
+    whether the equalized-LR scale is applied before or after rounding."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgx.models import zoo
+    from pgx.train import TrainConfig, init_train_state, make_train_step
+
+    real = jnp.asarray(
+        np.random.RandomState(0).randn(4, 16, 16, 1).astype(np.float32))
+
+    # bf16: a one-ulp (~0.4% relative) weight perturbation moves the GP by
+    # ~10% at init ((|grad|-1)^2 is locally chaotic in the weights), so the
+    # bf16 leg is a same-precision-class sanity bound, not a parity pin
+    for dtype, atol in [("float32", 0.0), ("bfloat16", 0.25)]:
+        gcfg = zoo.mnist_generator(z_dim=8, channel=8, dtype=dtype)
+        dcfg = zoo.mnist_discriminator(feat_dim=8, dtype=dtype)
+        outs = {}
+        for mode in ("site", "once"):
+            tc = dataclasses.replace(TrainConfig(), weights_cast=mode)
+            state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
+            fn = make_train_step(gcfg, dcfg, tc, step=2, fading=True,
+                                 donate=False)
+            s, m = fn(state, real, None, jnp.float32(0.5))
+            outs[mode] = jax.device_get(m)
+        for k in ("d_total", "g_loss", "grad_penalty"):
+            a = np.float64(outs["site"][k])
+            b = np.float64(outs["once"][k])
+            assert np.isfinite(b), (dtype, k, b)
+            np.testing.assert_allclose(
+                a, b, atol=atol, rtol=atol,
+                err_msg=f"{dtype} {k}")
+
+
 def test_sharded_jvp_gp_matches_single_device():
     """gp_mode='jvp' is also semantics-preserving under GSPMD data
     parallelism: the coefficient vector u is per-sample and the surrogate
