@@ -232,6 +232,11 @@ def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--ada", action="store_true",
                    help="wire the ADA augmentation pipeline + adaptive-p "
                         "controller (bgc policy)")
+    p.add_argument("--ada-p", type=float, default=None, metavar="P",
+                   help="run the augmentation pipeline at a FIXED "
+                        "probability P (no adaptive controller) — the ADA "
+                        "paper's fixed-p ablation mode; mutually exclusive "
+                        "with --ada")
     p.add_argument("--ada-target", type=float, default=0.6)
     p.add_argument("--ada-length", type=int, default=500000)
     p.add_argument("--ada-warp", default="shear",
@@ -244,13 +249,29 @@ def add_ada_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 
 def ada_configs_from_args(args):
-    """(augment_cfg, ada_cfg) for train_loop, or (None, None)."""
-    if not getattr(args, "ada", False):
-        return None, None
+    """(augment_cfg, ada_cfg, augment_p) for train_loop.
+
+    ``--ada`` enables the adaptive-p controller; ``--ada-p P`` enables the
+    pipeline at a fixed probability with no controller (ada_cfg=None, the
+    loop's ``augment_p`` applies — wgan.py's fixed-p path).  Neither flag
+    -> (None, None, 1.0) and the step runs augmentation-free."""
+    fixed_p = getattr(args, "ada_p", None)
+    adaptive = getattr(args, "ada", False)
+    if fixed_p is not None and adaptive:
+        raise SystemExit("--ada and --ada-p are mutually exclusive: the "
+                         "controller would overwrite the fixed probability")
+    if fixed_p is not None and not 0.0 <= fixed_p <= 1.0:
+        raise SystemExit(f"--ada-p must be in [0, 1], got {fixed_p}")
+    if not adaptive and fixed_p is None:
+        return None, None, 1.0
     from pgx.augment import AdaConfig, bgc_config
-    return (bgc_config(warp_impl=getattr(args, "ada_warp", "shear")),
+    aug = bgc_config(warp_impl=getattr(args, "ada_warp", "shear"))
+    if fixed_p is not None:
+        return aug, None, fixed_p
+    return (aug,
             AdaConfig(ada_target=args.ada_target,
-                      ada_length=args.ada_length))
+                      ada_length=args.ada_length),
+            1.0)
 
 
 def train_config_from_args(args):

@@ -109,10 +109,11 @@ def main(argv=None):
         model_parallel=args.model_parallel,
         model_parallel_mode=args.model_parallel_mode,
         checkpoint_backend=args.checkpoint_backend)
-    aug_cfg, ada_cfg = ada_configs_from_args(args)
+    aug_cfg, ada_cfg, augment_p = ada_configs_from_args(args)
     trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
                            resume_dir=args.resume, batch_fn=batch_fn,
-                           augment_cfg=aug_cfg, ada_cfg=ada_cfg)
+                           augment_cfg=aug_cfg, ada_cfg=ada_cfg,
+                           augment_p=augment_p)
     print(f"done: {trial_dir}")
     return trial_dir
 

@@ -84,6 +84,43 @@ def test_cli_mnist_train_ada_on_digits(tmp_path):
     assert header.endswith(",ada_p,ada_r")
 
 
+def test_cli_fixed_p_augmentation(tmp_path):
+    """--ada-p P runs the augmentation pipe at a fixed probability with no
+    controller (the ADA paper's fixed-p ablation mode; wgan.py's
+    ``augment_p`` path).  The log gains the ada columns and ada_p stays
+    pinned at P."""
+    from pgx.cli.conditional_proper_cifar_train import main
+    trial = _run(main, tmp_path,
+                 ["--images-per-mini-step", "8", "--max-step", "2",
+                  "--num-classes", "3", "--ada-p", "0.3",
+                  "--log-every", "1"])
+    log = [f for f in os.listdir(trial) if f.startswith("train_log")]
+    with open(os.path.join(trial, log[0])) as f:
+        header = f.readline().strip()
+        row = f.readline().strip().split(",")
+    assert header.endswith(",ada_p,ada_r")
+    ada_p = float(row[header.split(",").index("ada_p")])
+    assert ada_p == pytest.approx(0.3, abs=1e-6)
+
+
+def test_cli_fixed_p_and_adaptive_mutually_exclusive():
+    from pgx.cli.common import ada_configs_from_args
+    import argparse
+    ns = argparse.Namespace(ada=True, ada_p=0.3, ada_warp="shear",
+                            ada_target=0.6, ada_length=100)
+    with pytest.raises(SystemExit):
+        ada_configs_from_args(ns)
+    ns = argparse.Namespace(ada=False, ada_p=1.5, ada_warp="shear",
+                            ada_target=0.6, ada_length=100)
+    with pytest.raises(SystemExit):
+        ada_configs_from_args(ns)
+    aug, ada, p = ada_configs_from_args(
+        argparse.Namespace(ada=False, ada_p=0.25, ada_warp="gather",
+                           ada_target=0.6, ada_length=100))
+    assert aug is not None and ada is None and p == 0.25
+    assert aug.warp_impl == "gather"
+
+
 def test_cli_wikiart_synthetic(tmp_path):
     from pgx.cli.conditional_proper_wikiart import main
     _run(main, tmp_path, ["--images-per-mini-step", "8", "--max-step", "2",
