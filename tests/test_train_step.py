@@ -19,9 +19,11 @@ from tests import torch_oracle as oracle
 
 
 def _torch_reference_iteration(G, D, g_ema, opt_g, opt_d, real, z, eps,
-                               step, alpha):
+                               step, alpha, update_g=True):
     """One training iteration exactly as the reference loop performs it
-    (proper_cifar_train.py:191-238)."""
+    (proper_cifar_train.py:191-238).  ``update_g=False`` reproduces a
+    D-only iteration of the n_critic cadence (train.py:157: the G branch
+    runs only when ``(i+1) % n_critic == 0``; EMA advances only there)."""
     D.zero_grad()
     real_predict = D(real, step=step, alpha=alpha)
     real_predict = real_predict.mean() - 0.001 * (real_predict ** 2).mean()
@@ -41,21 +43,23 @@ def _torch_reference_iteration(G, D, g_ema, opt_g, opt_d, real, z, eps,
     grad_penalty.backward()
     opt_d.step()
 
-    G.zero_grad()
-    D.zero_grad()
-    predict = D(fake, step=step, alpha=alpha)
-    g_loss = -predict.mean()
-    g_loss.backward()
-    opt_g.step()
+    g_loss = None
+    if update_g:
+        G.zero_grad()
+        D.zero_grad()
+        predict = D(fake, step=step, alpha=alpha)
+        g_loss = -predict.mean()
+        g_loss.backward()
+        opt_g.step()
 
-    with torch.no_grad():
-        for pe, pg in zip(g_ema.parameters(), G.parameters()):
-            pe.mul_(0.999).add_(pg, alpha=0.001)
+        with torch.no_grad():
+            for pe, pg in zip(g_ema.parameters(), G.parameters()):
+                pe.mul_(0.999).add_(pg, alpha=0.001)
 
     return {
         "d_loss": (real_predict - fake_predict).item(),
         "grad_penalty": grad_penalty.item(),
-        "g_loss": g_loss.item(),
+        "g_loss": g_loss.item() if g_loss is not None else 0.0,
     }
 
 
@@ -793,6 +797,132 @@ def test_fused_g_sharded_matches_single_device():
                         jax.tree.leaves(s_shard[part])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_n_critic_2_matches_reference_two_iteration_sequence():
+    """n_critic=2 oracle (VERDICT r4 next #2): a two-iteration sequence —
+    iteration 1 D-only (no G update, no EMA advance), iteration 2 D+G+EMA —
+    matches the torch reference loop's cadence (train.py:157-169) at the
+    existing rtol, and the D-only step provably leaves g / g_ema
+    bit-identical."""
+    pm, _ = oracle.load_reference_modules()
+    torch.manual_seed(11)
+    G = pm.CorrectGenerator(input_code_dim=8, in_channel=8).double()
+    D = pm.CorrectDiscriminator(feat_dim=8).double()
+    g_ema = pm.CorrectGenerator(input_code_dim=8, in_channel=8).double()
+    g_ema.load_state_dict(G.state_dict())
+
+    gcfg = zoo.correct_generator(z_dim=8, channel=8, dtype="float64")
+    dcfg = zoo.correct_discriminator(feat_dim=8, dtype="float64")
+    tc = TrainConfig(n_critic=2)
+
+    state = init_train_state(jax.random.PRNGKey(21), gcfg, dcfg, tc)
+    state["g"] = oracle.generator_params_from_torch(G, gcfg)
+    state["d"] = oracle.discriminator_params_from_torch(D, dcfg)
+    state["g_ema"] = jax.tree.map(jnp.copy, state["g"])
+    from pgx.train.wgan import make_optimizer
+    state["opt_g"] = make_optimizer(tc).init(state["g"])
+    state["opt_d"] = make_optimizer(tc).init(state["d"])
+
+    step, alpha, fading = 2, 0.7, True
+    res = 4 * 2 ** (step - 1)
+    rng_np = np.random.RandomState(13)
+    reals = [rng_np.randn(4, res, res, 3) for _ in range(2)]
+
+    # replicate the step's internal rng stream across both iterations
+    # (each step splits its rng 6 ways; the first output threads forward)
+    rng1, kz0, keps0, *_ = jax.random.split(state["rng"], 6)
+    _, kz1, keps1, *_ = jax.random.split(rng1, 6)
+    zs = [np.asarray(jax.random.normal(k, (4, gcfg.z_dim), jnp.float32),
+                     dtype=np.float64) for k in (kz0, kz1)]
+    epss = [np.asarray(jax.random.uniform(k, (4, 1, 1, 1), jnp.float64))
+            for k in (keps0, keps1)]
+
+    step_d = make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
+                             update_g=False, donate=False)
+    step_gd = make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
+                              update_g=True, donate=False)
+
+    alpha_j = jnp.asarray(alpha, jnp.float64)
+    s1, m1 = step_d(state, jnp.asarray(reals[0]), None, alpha_j)
+    # the D-only iteration must leave G, EMA, and opt_g untouched — bitwise
+    for part in ("g", "g_ema", "opt_g"):
+        for a, b in zip(jax.tree.leaves(state[part]),
+                        jax.tree.leaves(s1[part])):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), part
+    assert float(m1["g_loss"]) == 0.0
+    assert int(s1["iteration"]) == 1
+
+    s2, m2 = step_gd(s1, jnp.asarray(reals[1]), None, alpha_j)
+
+    opt_g = torch.optim.Adam(G.parameters(), lr=1e-3, betas=(0.0, 0.99))
+    opt_d = torch.optim.Adam(D.parameters(), lr=1e-3, betas=(0.0, 0.99))
+    wants = []
+    for j, update_g in enumerate([False, True]):
+        wants.append(_torch_reference_iteration(
+            G, D, g_ema, opt_g, opt_d,
+            torch.from_numpy(reals[j]).permute(0, 3, 1, 2),
+            torch.from_numpy(zs[j]), torch.from_numpy(epss[j]),
+            step, alpha, update_g=update_g))
+
+    for m, want in [(m1, wants[0]), (m2, wants[1])]:
+        np.testing.assert_allclose(float(m["d_loss"]), want["d_loss"],
+                                   rtol=1e-8)
+        np.testing.assert_allclose(float(m["grad_penalty"]),
+                                   want["grad_penalty"], rtol=1e-8)
+        np.testing.assert_allclose(float(m["g_loss"]), want["g_loss"],
+                                   rtol=1e-8)
+
+    want_g = oracle.generator_params_from_torch(G, gcfg)
+    want_d = oracle.discriminator_params_from_torch(D, dcfg)
+    want_ema = oracle.generator_params_from_torch(g_ema, gcfg)
+    for name, ours, theirs in [("g", s2["g"], want_g),
+                               ("d", s2["d"], want_d),
+                               ("g_ema", s2["g_ema"], want_ema)]:
+        for a, b in zip(jax.tree.leaves(ours), jax.tree.leaves(theirs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-10,
+                                       err_msg=f"mismatch in {name}")
+
+
+def test_n_critic_cadence_through_train_loop(tmp_path):
+    """e2e: train_loop with n_critic=2 drives the D-only/D+G alternation —
+    g_loss is exactly 0 on D-only iterations (i+1 odd) and the EMA tree
+    advances only on G iterations (train.py:157-169 cadence)."""
+    from pgx.data import synthetic_dataset
+    from pgx.train import LegacySchedule
+    from pgx.train.loop import LoopConfig, train_loop
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig(n_critic=2)
+    schedule = LegacySchedule(8, 1, 1)
+    dataset = synthetic_dataset(n=32, size=8, channels=1, seed=0)
+    loop_cfg = LoopConfig(trial_name="ncritic", main_path=str(tmp_path),
+                          batch_size=8, sample_every=100,
+                          checkpoint_every=100, log_every=100,
+                          total_iterations=4, verbose=False)
+
+    seen = []
+
+    def on_iteration(i, st, state, metrics):
+        seen.append((i, float(metrics["g_loss"]),
+                     [np.asarray(a).copy()
+                      for a in jax.tree.leaves(state["g_ema"])]))
+
+    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
+               hooks={"on_iteration": on_iteration})
+
+    assert [i for i, _, _ in seen] == [0, 1, 2, 3]
+    g_losses = [gl for _, gl, _ in seen]
+    assert g_losses[0] == 0.0 and g_losses[2] == 0.0   # D-only iterations
+    assert g_losses[1] != 0.0 and g_losses[3] != 0.0   # G updated
+    emas = [e for _, _, e in seen]
+    # EMA advances at i=1 and i=3 only: snapshot after the D-only i=2
+    # iteration is bit-identical to the one after i=1
+    assert all(np.array_equal(a, b) for a, b in zip(emas[1], emas[2]))
+    assert not all(np.array_equal(a, b) for a, b in zip(emas[0], emas[1]))
+    assert not all(np.array_equal(a, b) for a, b in zip(emas[2], emas[3]))
 
 
 def test_fused_g_multi_step_scan_matches_singles():
