@@ -1,0 +1,103 @@
+"""pgx.utils.aot_guard: the XLA:CPU AOT-reload noise filter.
+
+VERDICT r4 weak #1 / next #1: the multichip dryrun's artifact tail must
+carry zero cpu_aot_loader ERROR lines.  The benign class (LLVM tuning
+pseudo-features like +prefer-no-gather, which host CPUID never reports)
+is filtered with a citation; genuine ISA mismatches pass through and
+purge the persistent-cache subtree that produced them (the reference's
+per-machine rebuild discipline, torch_utils/custom_ops.py:80-108).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+from pgx.utils.aot_guard import AotNoiseFilter, classify_line
+
+# Verbatim shape of the loader's complaint (note the double space in
+# "not  supported"), one line per feature.
+BENIGN_LINE = (
+    "E0820 09:51:49.348073 5616 cpu_aot_loader.cc:210] Loading XLA:CPU "
+    "AOT result. Target machine feature +prefer-no-gather is not  "
+    "supported on the host machine. Machine type used for XLA:CPU "
+    "compilation doesn't match the machine type for execution. Compile "
+    "machine features: [+64bit,+avx,+prefer-no-gather] vs host machine "
+    "features: [64bit,avx]. This could lead to execution errors such as "
+    "SIGILL.")
+GENUINE_LINE = BENIGN_LINE.replace("+prefer-no-gather is not",
+                                   "+avx512f is not")
+
+
+def test_classify_line():
+    assert classify_line(BENIGN_LINE) == "benign"
+    assert classify_line(
+        BENIGN_LINE.replace("prefer-no-gather", "prefer-no-scatter")
+    ) == "benign"
+    assert classify_line(GENUINE_LINE) == "genuine"
+    assert classify_line("E0820 cpu_aot_loader.cc:210] Target machine "
+                         "feature +amx-int8 is not  supported on the host "
+                         "machine.") == "genuine"
+    assert classify_line("perfectly ordinary stderr traffic") == "other"
+    # an unrelated mention of the loader without the feature sentence
+    assert classify_line("I0820 cpu_aot_loader.cc:100] loaded ok") == "other"
+
+
+def test_filter_inline_counts_without_purge(tmp_path, capfd):
+    """Python-level writes through the filter: benign dropped+counted,
+    genuine and ordinary lines pass through; no purge without purge_dir."""
+    with AotNoiseFilter() as filt:
+        os.write(2, (BENIGN_LINE + "\n").encode())
+        os.write(2, b"ordinary line\n")
+        os.write(2, (GENUINE_LINE + "\n").encode())
+    captured = capfd.readouterr().err
+    assert filt.benign_count == 1
+    assert len(filt.genuine_lines) == 1
+    assert "prefer-no-gather is not" not in captured
+    assert "ordinary line" in captured
+    assert "+avx512f is not" in captured
+    assert not filt.purged
+    assert "pseudo-feature" in filt.summary()
+
+
+def test_fake_mismatched_entry_purges_cache_subtree(tmp_path):
+    """Fake a mismatched cache entry end-to-end in a subprocess: a genuine
+    ISA-mismatch loader line must survive the filter verbatim AND delete
+    the fingerprint subtree so the stale executables are never reused."""
+    cache = tmp_path / "xla" / "fingerprint"
+    cache.mkdir(parents=True)
+    (cache / "entry.bin").write_bytes(b"stale aot executable")
+
+    script = textwrap.dedent(f"""
+        import os, sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pgx.utils.aot_guard import AotNoiseFilter
+        with AotNoiseFilter(purge_dir={str(cache)!r}) as filt:
+            os.write(2, {(BENIGN_LINE + chr(10)).encode()!r})
+            os.write(2, {(GENUINE_LINE + chr(10)).encode()!r})
+            os.write(2, b"tail marker\\n")
+        os.write(2, (filt.summary() + "\\n").encode())
+        print("benign", filt.benign_count, "genuine", len(filt.genuine_lines),
+              "purged", filt.purged)
+    """)
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert "benign 1 genuine 1 purged True" in proc.stdout
+    # benign line swallowed; genuine + ordinary lines intact in stderr
+    assert "prefer-no-gather is not" not in proc.stderr
+    assert "+avx512f is not" in proc.stderr
+    assert "tail marker" in proc.stderr
+    assert "purged persistent XLA cache subtree" in proc.stderr
+    # the mismatched entry is gone
+    assert not cache.exists()
+
+
+def test_benign_only_keeps_cache(tmp_path):
+    cache = tmp_path / "fp"
+    cache.mkdir()
+    (cache / "entry.bin").write_bytes(b"x")
+    with AotNoiseFilter(purge_dir=str(cache)) as filt:
+        os.write(2, (BENIGN_LINE + "\n").encode())
+    assert filt.benign_count == 1 and not filt.purged
+    assert cache.exists()
