@@ -147,11 +147,18 @@ def default_face_detector() -> Optional[Callable]:
     image when none is passed.
 
     Tries, in order: facenet-pytorch MTCNN (the reference's detector,
-    face_detection_tests.py:12-26), the standalone ``mtcnn`` package, and
-    cv2's Haar cascade.  Returns None when no detector library is installed
-    (this image ships none) — callers then fall back to the content-aware
-    crop.  Returned detectors yield the center of the highest-confidence
-    face box.
+    face_detection_tests.py:12-26), the standalone ``mtcnn`` package,
+    cv2's Haar cascade (pointed at pgx's vendored
+    ``cascades/haarcascade_frontalface_default.xml`` when ``cv2.data``
+    ships no cascade files), pgx's own pure-numpy Viola-Jones engine over
+    the same vendored cascade (``pgx.data.haar`` — real trained-cascade
+    detection with no detector library at all; the working leg in this
+    image, whose cv2 5.0 wheel has no ``CascadeClassifier``), and finally
+    the analytic template matcher (``pgx.data.face_detect``).  Returns
+    None only when even the fallbacks are unavailable (e.g. the vendored
+    cascade file removed AND scipy missing) — callers then use the
+    content-aware crop.  Returned detectors yield the center of the
+    highest-confidence / largest face box.
     """
     try:
         from facenet_pytorch import MTCNN  # noqa: F401 (absent here)
@@ -184,22 +191,46 @@ def default_face_detector() -> Optional[Callable]:
         pass
     try:
         import cv2
-        cascade = cv2.CascadeClassifier(
-            cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
+        cascade_path = None
+        try:
+            cand = os.path.join(cv2.data.haarcascades,
+                                "haarcascade_frontalface_default.xml")
+            if os.path.exists(cand):
+                cascade_path = cand
+        except Exception:
+            pass
+        if cascade_path is None:   # cv2 without bundled cascade data:
+            from pgx.data.haar import FRONTALFACE_PATH
+            cascade_path = FRONTALFACE_PATH   # the vendored official file
+        cascade = cv2.CascadeClassifier(cascade_path)
         # CascadeClassifier does not raise on a missing/corrupt cascade
         # file — it yields an empty classifier whose detectMultiScale
-        # errors at call time; treat that as "no detector installed"
-        if cascade.empty():
-            return None
-
-        def cv2_detect(img: np.ndarray):
-            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-            faces = cascade.detectMultiScale(gray, 1.1, 4)
-            if len(faces) == 0:
-                return None
-            x0, y0, w, h = max(faces, key=lambda f: f[2] * f[3])
-            return int(x0 + w / 2), int(y0 + h / 2)
-        return cv2_detect
+        # errors at call time; treat that as "leg unavailable"
+        if not cascade.empty():
+            def cv2_detect(img: np.ndarray):
+                gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+                faces = cascade.detectMultiScale(gray, 1.1, 4)
+                if len(faces) == 0:
+                    return None
+                x0, y0, w, h = max(faces, key=lambda f: f[2] * f[3])
+                return int(x0 + w / 2), int(y0 + h / 2)
+            return cv2_detect
+    except Exception:
+        pass
+    try:
+        # pure-numpy Viola-Jones over the vendored official cascade
+        # (pgx/data/haar.py) — real trained-cascade detection with no
+        # detector library installed; parse eagerly so a missing/corrupt
+        # file falls through instead of failing at the first image
+        from pgx.data.haar import detect_face_center, load_cascade
+        load_cascade()
+        return detect_face_center
+    except Exception:
+        pass
+    try:
+        # analytic multi-scale template matcher (pgx/data/face_detect.py)
+        from pgx.data.face_detect import detect_face
+        return detect_face
     except Exception:
         return None
 

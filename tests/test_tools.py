@@ -150,8 +150,9 @@ def test_cut_face_with_stub_detector():
     crop = prep.cut_face(img, detector=lambda im: None)
     assert crop.max() == 255
 
-    # no detector library in this image: default resolves to None/cv2 and
-    # cut_face still returns a valid square via the fallback
+    # no detector LIBRARY in this image: the default resolves to pgx's
+    # own numpy Viola-Jones engine, which finds no face in this bar
+    # pattern -> content-aware fallback still yields a valid square
     crop = prep.cut_face(img)
     assert crop.shape == (40, 40, 3)
 
@@ -193,10 +194,13 @@ def test_cv2_haar_detector_wiring(monkeypatch):
         crop = prep.cut_face(img, detector=det)
         assert crop.shape == (60, 60, 3)
 
-        # an empty/corrupt cascade reads as "no detector installed"
+        # an empty/corrupt cascade skips the cv2 leg — the chain falls
+        # through to pgx's own numpy Viola-Jones engine over the vendored
+        # cascade (which actually works in this image)
+        from pgx.data.haar import detect_face_center
         monkeypatch.setattr(FakeCascade, "empty", lambda self: True)
         prep.default_face_detector.cache_clear()
-        assert prep.default_face_detector() is None
+        assert prep.default_face_detector() is detect_face_center
     finally:
         prep.default_face_detector.cache_clear()
 
