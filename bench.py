@@ -3,15 +3,18 @@ the 128x128 stage (BASELINE.md north-star), plus the DEFENSIBLE absolute
 numbers — sustained TFLOP/s and MFU (XLA-cost-analysis FLOPs / wall /
 chip peak).
 
-Run bare (``python bench.py``, the driver invocation) it prints TWO JSON
-lines:
+Run bare (``python bench.py``, the driver invocation) it prints one JSON
+line per configuration:
   1. the production recipe (--gp-every 4 --fused-g --steps-per-call 8,
      the documented fast path; semantics differ from the reference's exact
      update order, see benchmarks/README.md),
-  2. LAST, the reference-exact iteration — the comparable series across
-     rounds, and the line a single-JSON-line consumer picks up.
+  2. the per-stage growth curve — reference-exact iteration at every
+     stage of the flagship config (8/16/32/64px) plus the grown 7-stage
+     256px config at batch 16, each with its own MFU/TFLOPs,
+  3. LAST, the reference-exact 128px iteration — the comparable series
+     across rounds, and the line a single-JSON-line consumer picks up.
 With any explicit flag it benches exactly the requested configuration and
-prints one line.
+prints one line (``--per-stage`` sweeps the growth curve instead).
 
 ``vs_torch_cpu_reference`` compares against the PyTorch reference running
 its own training iteration for the same workload on the hardware it
@@ -69,7 +72,8 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
                      fading: bool = False, gp_every: int = 1,
                      ada: bool = False, gp_mode: str = "reverse",
                      steps_per_call: int = 1, fused_g: bool = False,
-                     weights_cast: str = "site"):
+                     weights_cast: str = "site", step: int = 6,
+                     configs=None, d_concat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -77,16 +81,17 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     from pgx.train import (TrainConfig, init_train_state,
                            make_train_multi_step, make_train_step)
 
-    gcfg, dcfg = _flagship_configs(dtype=dtype)
+    gcfg, dcfg = configs if configs is not None else _flagship_configs(
+        dtype=dtype)
     tc = TrainConfig(gp_every=gp_every, gp_mode=gp_mode, fused_g=fused_g,
-                     weights_cast=weights_cast)
+                     weights_cast=weights_cast, d_concat=d_concat)
     aug_kwargs = {}
     if ada:
         from pgx.augment import AdaConfig, bgc_config
         aug_kwargs = dict(augment_cfg=bgc_config(), ada_cfg=AdaConfig())
     state = init_train_state(jax.random.PRNGKey(0), gcfg, dcfg, tc)
 
-    res = 128
+    res = gcfg.resolution(step)
     rng = np.random.RandomState(0)
     real = jnp.asarray(rng.randn(batch_size, res, res, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, gcfg.num_classes, batch_size))
@@ -98,14 +103,14 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     # gp_every > 1 the cycle average weighs the two step variants.
     def _per_image_flops():
         f_gp = _flops_per_call(
-            make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+            make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
                             donate=False, **aug_kwargs),
             state, real, labels, alpha)
         if not f_gp:
             return None
         if gp_every > 1:
             f_no = _flops_per_call(
-                make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+                make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
                                 apply_gp=False, donate=False, **aug_kwargs),
                 state, real, labels, alpha)
             if not f_no:
@@ -122,7 +127,7 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
         # with the per-call host overhead amortized as the shipped
         # --steps-per-call training path does
         k = steps_per_call
-        mfn = make_train_multi_step(gcfg, dcfg, tc, step=6, fading=fading,
+        mfn = make_train_multi_step(gcfg, dcfg, tc, step=step, fading=fading,
                                     k=k, **aug_kwargs)
         reals, labs = (real,) * k, (labels,) * k
         alphas = jnp.ones((k,), jnp.float32)
@@ -136,9 +141,9 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
         dt = time.perf_counter() - t0
         return batch_size * k * nw / dt, metrics, fpi
 
-    train_step = make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+    train_step = make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
                                  **aug_kwargs)
-    nogp_step = (make_train_step(gcfg, dcfg, tc, step=6, fading=fading,
+    nogp_step = (make_train_step(gcfg, dcfg, tc, step=step, fading=fading,
                                  apply_gp=False, **aug_kwargs)
                  if gp_every > 1 else None)
 
@@ -166,21 +171,25 @@ def bench_train_step(batch_size: int, dtype: str, steps: int,
     return batch_size * steps / dt, metrics, fpi
 
 
-def _bench_line(args, *, gp_every, fused_g, ada, metric_suffix=""):
+def _bench_line(args, *, gp_every, fused_g, ada, metric_suffix="",
+                step=6, configs=None, batch_size=None, metric=None,
+                include_vs_torch=True, extra_fields=None):
+    batch_size = batch_size or args.batch_size
     ips, metrics, flops_per_image = bench_train_step(
-        args.batch_size, args.dtype,
+        batch_size, args.dtype,
         max(args.steps, args.steps_per_call * 3),
         gp_every=gp_every, ada=ada, gp_mode=args.gp_mode,
         steps_per_call=args.steps_per_call, fused_g=fused_g,
-        weights_cast=args.weights_cast)
+        weights_cast=args.weights_cast, step=step, configs=configs,
+        d_concat=getattr(args, "d_concat", False))
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
-    # the measured reference baseline is the plain (non-ADA) iteration;
-    # an --ada run has no comparable reference number (the reference never
-    # wired its pipeline in), so the ratio stays null there
-    if os.path.exists(baseline_path) and not ada:
+    # the measured reference baseline is the plain (non-ADA) iteration at
+    # the 128px flagship stage; an --ada run (or another stage) has no
+    # comparable reference number, so the ratio stays null there
+    if os.path.exists(baseline_path) and not ada and include_vs_torch:
         with open(baseline_path) as f:
             ref = json.load(f)
         ref_ips = ref.get("reference_images_per_sec")
@@ -194,12 +203,13 @@ def _bench_line(args, *, gp_every, fused_g, ada, metric_suffix=""):
         if peak:
             mfu = flops_per_image * ips / peak
 
-    metric = "images_per_sec_per_chip_128px_cond_gd_step"
-    if ada:
-        metric += "_ada"
-    if fused_g:
-        metric += "_fused"
-    metric += metric_suffix
+    if metric is None:
+        metric = "images_per_sec_per_chip_128px_cond_gd_step"
+        if ada:
+            metric += "_ada"
+        if fused_g:
+            metric += "_fused"
+        metric += metric_suffix
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),
@@ -214,7 +224,37 @@ def _bench_line(args, *, gp_every, fused_g, ada, metric_suffix=""):
         "steps_per_call": args.steps_per_call,
         "gp_every": gp_every,
         "fused_g": fused_g,
+        "batch_size": batch_size,
+        **(extra_fields or {}),
     }), flush=True)
+
+
+def _stage_lines(args):
+    """One JSON line per growth stage of the flagship config (8..64px;
+    the 128px stage is the headline line emitted last), plus the grown
+    7-stage 256px config (batch 16, matching benchmarks/README.md's stage
+    table) — the reference-exact iteration at every stage, each with its
+    own MFU/TFLOPs so the whole growth curve is regression-checkable
+    round over round (VERDICT r4 next #3)."""
+    from __graft_entry__ import _flagship_configs
+    gcfg, dcfg = _flagship_configs(dtype=args.dtype)
+    for step in range(2, 6):
+        res = gcfg.resolution(step)
+        _bench_line(
+            args, gp_every=args.gp_every, fused_g=False, ada=False,
+            step=step, configs=(gcfg, dcfg),
+            metric=f"images_per_sec_per_chip_{res}px_cond_gd_step_stage",
+            include_vs_torch=False,
+            extra_fields={"stage": step, "stage_resolution": res})
+
+    from pgx.models import zoo
+    grown = zoo.conditional_correct_grown(7, dtype=args.dtype)
+    _bench_line(
+        args, gp_every=args.gp_every, fused_g=False, ada=False,
+        step=7, configs=grown, batch_size=16,
+        metric="images_per_sec_per_chip_256px_cond_gd_step_grown",
+        include_vs_torch=False,
+        extra_fields={"stage": 7, "stage_resolution": 256})
 
 
 def main():
@@ -243,6 +283,13 @@ def main():
                    help="iterations per device dispatch (lax.scan over the "
                         "identical single-step body; 1 = one jit call per "
                         "iteration)")
+    p.add_argument("--d-concat", action="store_true",
+                   help="batched-D dispatch: one 3B D pass over "
+                        "concat([real, fake, x_hat]) with per-slice "
+                        "minibatch stddev (TrainConfig.d_concat)")
+    p.add_argument("--per-stage", action="store_true",
+                   help="bench every growth stage (8..64px + grown 256px) "
+                        "instead of only the 128px headline")
     default_invocation = len(sys.argv) == 1
     args = p.parse_args()
     try:
@@ -260,13 +307,19 @@ def main():
         args.steps_per_call = 1          # scan needs k % gp_every == 0
 
     if default_invocation:
-        # production recipe first; the reference-exact line LAST (it is the
-        # round-over-round comparable series, and the line a one-JSON-line
-        # consumer keeps)
+        # production recipe first, then the per-stage growth curve
+        # (8..64px + grown 256px); the reference-exact 128px line LAST (it
+        # is the round-over-round comparable series, and the line a
+        # one-JSON-line consumer keeps)
         _bench_line(args, gp_every=4, fused_g=True, ada=False,
                     metric_suffix="_production_gp4")
+        _stage_lines(args)
+    elif args.per_stage:
+        _stage_lines(args)
+        return
     _bench_line(args, gp_every=args.gp_every, fused_g=args.fused_g,
-                ada=args.ada)
+                ada=args.ada,
+                extra_fields={"stage": 6, "stage_resolution": 128})
 
 
 if __name__ == "__main__":

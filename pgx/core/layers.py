@@ -66,7 +66,8 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
 
 
 def minibatch_stddev(x: jnp.ndarray, eps: float = 1e-8,
-                     axis_name: Optional[str] = None) -> jnp.ndarray:
+                     axis_name: Optional[str] = None,
+                     groups: int = 1) -> jnp.ndarray:
     """Append the minibatch-stddev feature map as one extra channel.
 
     Biased variance over the batch per (H, W, C) position, sqrt(var + eps),
@@ -76,7 +77,28 @@ def minibatch_stddev(x: jnp.ndarray, eps: float = 1e-8,
     ``axis_name`` computes the statistic over a mapped device axis (for
     shard_map/pmap use).  Under plain jit + GSPMD sharding, batch reductions
     are already global, matching the reference's single-device semantics.
+
+    ``groups > 1`` computes the statistic independently per contiguous
+    batch slice of size ``B / groups`` — the per-slice semantics of the
+    batched-D dispatch (``TrainConfig.d_concat``), where one 3B forward
+    over ``concat([real, fake, x_hat])`` must score each B-slice exactly
+    as three separate B-batch forwards would (no cross-slice coupling).
     """
+    if groups > 1:
+        if axis_name is not None:
+            raise ValueError("minibatch_stddev: groups and axis_name are "
+                             "mutually exclusive (grouped stats are a "
+                             "single-call dispatch detail)")
+        b, h, w, c = x.shape
+        if b % groups:
+            raise ValueError(f"batch {b} not divisible by groups={groups}")
+        xg = x.reshape(groups, b // groups, h, w, c)
+        var = jnp.var(xg, axis=1)                       # (G, H, W, C)
+        mean_std = jnp.mean(jnp.sqrt(var + eps), axis=(1, 2, 3))   # (G,)
+        feat = jnp.broadcast_to(
+            mean_std[:, None, None, None, None],
+            (groups, b // groups, h, w, 1)).reshape(b, h, w, 1)
+        return jnp.concatenate([x, feat.astype(x.dtype)], axis=-1)
     if axis_name is None:
         var = jnp.var(x, axis=0)
     else:

@@ -94,12 +94,18 @@ def discriminator_apply(params: Params, cfg: DiscriminatorConfig,
                         img: jnp.ndarray,
                         labels: Optional[jnp.ndarray] = None, *, step: int,
                         alpha=1.0, fading: bool = False,
-                        stddev_axis_name: Optional[str] = None) -> jnp.ndarray:
+                        stddev_axis_name: Optional[str] = None,
+                        stddev_groups: int = 1) -> jnp.ndarray:
     """Score a batch of images entering at the resolution of ``step``.
 
     Returns shape (B, 1) for plain/label-plane heads, (B,) for the projection
     head (mirroring the reference's return shapes,
     progan_modules.py:307-311 vs :910-915).
+
+    ``stddev_groups > 1`` evaluates the minibatch-stddev statistic per
+    contiguous B/groups slice: one concatenated forward then scores each
+    slice exactly as separate per-slice calls would (the batched-D
+    dispatch, TrainConfig.d_concat).
     """
     step = min(step, cfg.max_step)
     dtype = cfg.compute_dtype
@@ -115,7 +121,8 @@ def discriminator_apply(params: Params, cfg: DiscriminatorConfig,
             skip = _from_rgb(params, cfg, entry - 1, downsample2x(img), labels)
             x = (1 - a) * skip + a * x
 
-    x = L.minibatch_stddev(x, axis_name=stddev_axis_name)
+    x = L.minibatch_stddev(x, axis_name=stddev_axis_name,
+                           groups=stddev_groups)
     x = _block(params, cfg, 0, x)           # -> (B, 1, 1, feat)
     h = x.reshape(x.shape[0], -1)
     out = L.equal_linear(params["linear"], h)

@@ -117,6 +117,22 @@ class TrainConfig:
     # step logs it against the post-update D with a fresh draw), so g_loss
     # columns are not comparable across runs differing in fused_g.
     # Convergence-checked on real data (benchmarks/README.md "FusedProp").
+    d_concat: bool = False
+    # Batched-D dispatch: ONE D forward over concat([real, fake, x_hat])
+    # (3B batch; 2B on lazy-GP iterations that skip the penalty) with the
+    # minibatch-stddev statistic computed per B-slice
+    # (discriminator_apply stddev_groups), so every slice scores exactly
+    # as the reference's three separate B-batch calls would — per-slice
+    # stddev has no cross-slice coupling, which also makes the GP's
+    # hat-slice input gradient identical (proven in
+    # tests/test_train_step.py).  Purpose: lift in-kernel MXU efficiency
+    # at small per-call batch by tripling the conv batch.  Trade: the
+    # GP's inner backward runs over the full 3B batch (its real/fake
+    # cotangent blocks are exactly zero but still computed), so this wins
+    # only where batching efficiency beats the extra backward width —
+    # measured per-stage in benchmarks/README.md "Batched-D dispatch".
+    # Reverse GP only; incompatible with fused_g (there the fake slice
+    # would carry G-gradients into the concatenated pass).
 
     def __post_init__(self):
         # argparse choices guard the CLIs; programmatic construction (tests,
@@ -132,6 +148,10 @@ class TrainConfig:
                              f"'d_only', got {self.remat_policy!r}")
         if self.gp_every < 1 or self.n_critic < 1:
             raise ValueError("gp_every and n_critic must be >= 1")
+        if self.d_concat and self.gp_mode != "reverse":
+            raise ValueError("d_concat requires gp_mode='reverse'")
+        if self.d_concat and self.fused_g:
+            raise ValueError("d_concat is incompatible with fused_g")
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -203,12 +223,20 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         return generator_apply(params, gcfg, z, labels, step=step,
                                alpha=alpha, fading=fading)
 
-    def d_fwd(params: Params, img, labels, alpha):
-        params = _cast_once(params, dcfg.compute_dtype)
-        out = discriminator_apply(params, dcfg, img, labels, step=step,
-                                  alpha=alpha, fading=fading,
-                                  stddev_axis_name=stddev_axis_name)
-        return out.reshape(-1)
+    def _make_d_fwd(groups: int):
+        def d_fwd(params: Params, img, labels, alpha):
+            params = _cast_once(params, dcfg.compute_dtype)
+            out = discriminator_apply(params, dcfg, img, labels, step=step,
+                                      alpha=alpha, fading=fading,
+                                      stddev_axis_name=stddev_axis_name,
+                                      stddev_groups=groups)
+            return out.reshape(-1)
+        return d_fwd
+
+    d_fwd = _make_d_fwd(1)
+    # batched-D dispatch (TrainConfig.d_concat): per-slice-stddev variants
+    # for the 3B (real|fake|x_hat) and 2B (real|fake, GP skipped) passes
+    d_fwd_cat = {g: _make_d_fwd(g) for g in ((2, 3) if tc.d_concat else ())}
 
     if tc.remat:
         # rematerialize activations in the backward passes (incl. through
@@ -218,12 +246,16 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                 return prim.name in ("conv_general_dilated", "dot_general")
             g_fwd = jax.checkpoint(g_fwd, policy=_conv_saveable)
             d_fwd = jax.checkpoint(d_fwd, policy=_conv_saveable)
+            d_fwd_cat = {g: jax.checkpoint(f, policy=_conv_saveable)
+                         for g, f in d_fwd_cat.items()}
         elif tc.remat_policy == "d_only":
             d_fwd = jax.checkpoint(d_fwd)
+            d_fwd_cat = {g: jax.checkpoint(f) for g, f in d_fwd_cat.items()}
         else:
             assert tc.remat_policy == "full", tc.remat_policy
             g_fwd = jax.checkpoint(g_fwd)
             d_fwd = jax.checkpoint(d_fwd)
+            d_fwd_cat = {g: jax.checkpoint(f) for g, f in d_fwd_cat.items()}
 
     def train_step(state, real, labels, alpha):
         rng = state["rng"]
@@ -252,6 +284,36 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         eps = jax.random.uniform(keps, (bsz, 1, 1, 1), real.dtype)
         fused = bool(tc.fused_g) and update_g
 
+        def _concat_pass(pd, fake_live, x_hat):
+            """d_concat: ONE batched D forward (3B with GP, 2B without)
+            with per-slice stddev; the hat-slice input gradient for the GP
+            comes from the same concatenated graph (its real/fake
+            cotangent blocks are exactly zero — per-slice stddev is the
+            only cross-sample op).  Returns (real_scores, fake_scores,
+            gp)."""
+            if apply_gp:
+                lab_c = (jnp.concatenate([lab] * 3) if lab is not None
+                         else None)
+
+                def cat_scores(xh):
+                    xcat = jnp.concatenate([real, fake_live, xh], axis=0)
+                    return d_fwd_cat[3](pd, xcat, lab_c, alpha)
+
+                grad_x = jax.grad(
+                    lambda xh: jnp.sum(cat_scores(xh)[2 * bsz:]))(x_hat)
+                scores = cat_scores(x_hat)  # XLA CSEs with the grad's fwd
+                acc = jnp.promote_types(grad_x.dtype, jnp.float32)
+                norms = jnp.sqrt(jnp.sum(
+                    jnp.square(grad_x.astype(acc)), axis=(1, 2, 3)))
+                gp = (tc.lambda_gp * tc.gp_every
+                      * jnp.mean(jnp.square(norms - 1.0)))
+                return scores[:bsz], scores[bsz:2 * bsz], gp
+            lab_c = jnp.concatenate([lab] * 2) if lab is not None else None
+            scores = d_fwd_cat[2](
+                pd, jnp.concatenate([real, fake_live], axis=0), lab_c,
+                alpha)
+            return scores[:bsz], scores[bsz:], jnp.zeros((), jnp.float32)
+
         def d_loss_with(pd, fake_live):
             # fake_live carries G-gradients in fused mode; the GP's x_hat
             # never does — the reference interpolates against a detached
@@ -259,6 +321,21 @@ def make_train_step_body(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
             # on D alone
             fake_sg = jax.lax.stop_gradient(fake_live)
             x_hat = eps * real + (1.0 - eps) * fake_sg
+            if tc.d_concat:
+                real_scores, fake_scores, gp = _concat_pass(
+                    pd, fake_live, x_hat)
+                aux_scores = real_scores
+                real_drifted = (jnp.mean(real_scores)
+                                - tc.drift
+                                * jnp.mean(jnp.square(real_scores)))
+                loss = -real_drifted + jnp.mean(fake_scores) + gp
+                aux = {
+                    "d_loss": real_drifted - jnp.mean(fake_scores),
+                    "grad_penalty": gp,
+                    "real_score": jnp.mean(real_scores),
+                    "fake_score": jnp.mean(fake_scores),
+                }
+                return loss, (aux, aux_scores)
             real_scores = d_fwd(pd, real, lab, alpha)
             aux_scores = real_scores
             fake_scores = d_fwd(pd, fake_live, lab, alpha)

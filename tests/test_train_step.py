@@ -6,6 +6,8 @@ The torch side executes the documented per-iteration recipe
 weights transplanted and identical z/eps draws.
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -799,6 +801,78 @@ def test_fused_g_sharded_matches_single_device():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_slice_stddev_equals_separate_calls():
+    """The d_concat premise: a 3B concatenated D forward with per-slice
+    minibatch stddev (stddev_groups=3) scores each B-slice EXACTLY as
+    three separate B-batch forwards — per-slice stddev is the only
+    cross-sample op, so there is no cross-slice coupling.  f64 to within
+    reassociation noise: XLA tiles the 3B conv differently than the B
+    conv, so identical math lands within an ulp, not bitwise."""
+    from pgx.models import init_discriminator
+    from pgx.models.discriminator import discriminator_apply
+
+    dcfg = zoo.correct_discriminator(feat_dim=8, dtype="float64")
+    params = init_discriminator(jax.random.PRNGKey(2), dcfg)
+    rng = np.random.RandomState(0)
+    slices = [jnp.asarray(rng.randn(4, 16, 16, 3)) for _ in range(3)]
+    alpha = jnp.asarray(0.6, jnp.float64)
+
+    sep = jnp.concatenate([
+        discriminator_apply(params, dcfg, s, step=3, alpha=alpha,
+                            fading=True).reshape(-1) for s in slices])
+    cat = discriminator_apply(params, dcfg, jnp.concatenate(slices),
+                              step=3, alpha=alpha, fading=True,
+                              stddev_groups=3).reshape(-1)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(cat),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_d_concat_step_matches_plain_step():
+    """TrainConfig.d_concat (batched 3B D dispatch) is a dispatch-shape
+    change, not a math change: the full train step matches the separate
+    three-call form at f64 — fade phase, conditional labels, and the
+    lazy-GP 2B variant included."""
+    import dataclasses
+
+    gcfg = zoo.mnist_conditional_generator(z_dim=8, channel=8,
+                                           num_classes=3, dtype="float64")
+    dcfg = zoo.mnist_conditional_discriminator_wgangp(
+        feat_dim=8, num_classes=3, dtype="float64")
+    real = jnp.asarray(np.random.RandomState(1).randn(6, 16, 16, 1))
+    labels = jnp.asarray(np.arange(6) % 3)
+    alpha = jnp.asarray(0.7, jnp.float64)
+
+    state0 = init_train_state(
+        jax.random.PRNGKey(3), gcfg, dcfg, TrainConfig())
+    outs = {}
+    for key, dcat in [("plain", False), ("concat", True)]:
+        tc = dataclasses.replace(TrainConfig(), gp_every=2, d_concat=dcat)
+        for gp in (True, False):     # GP iteration (3B) + lazy skip (2B)
+            fn = make_train_step(gcfg, dcfg, tc, step=2, fading=True,
+                                 apply_gp=gp, donate=False)
+            # both variants step from the SAME state0: one-step parity,
+            # not two-step chaos amplification
+            s, m = fn(jax.tree.map(jnp.copy, state0), real, labels, alpha)
+            outs[(key, gp)] = (jax.device_get(s), jax.device_get(m))
+
+    # identical math: the bitwise-level guarantee lives in
+    # test_slice_stddev_equals_separate_calls; here the differently-tiled
+    # 3B convs reassociate, and the resulting (sub-1e-6-absolute) gradient
+    # ulps land raw in the first-step Adam moments (mu = g at beta1=0), so
+    # the tree comparison is atol-dominated for the near-zero moment leaves
+    for gp in (True, False):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=1e-5, atol=1e-6),
+            outs[("plain", gp)], outs[("concat", gp)])
+
+    with pytest.raises(ValueError, match="d_concat"):
+        TrainConfig(d_concat=True, gp_mode="jvp")
+    with pytest.raises(ValueError, match="d_concat"):
+        TrainConfig(d_concat=True, fused_g=True)
+
+
 def test_n_critic_2_matches_reference_two_iteration_sequence():
     """n_critic=2 oracle (VERDICT r4 next #2): a two-iteration sequence —
     iteration 1 D-only (no G update, no EMA advance), iteration 2 D+G+EMA —
@@ -900,7 +974,7 @@ def test_n_critic_cadence_through_train_loop(tmp_path):
     dataset = synthetic_dataset(n=32, size=8, channels=1, seed=0)
     loop_cfg = LoopConfig(trial_name="ncritic", main_path=str(tmp_path),
                           batch_size=8, sample_every=100,
-                          checkpoint_every=100, log_every=100,
+                          checkpoint_every=100, log_every=2,
                           total_iterations=4, verbose=False)
 
     seen = []
@@ -910,8 +984,19 @@ def test_n_critic_cadence_through_train_loop(tmp_path):
                      [np.asarray(a).copy()
                       for a in jax.tree.leaves(state["g_ema"])]))
 
-    train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
-               hooks={"on_iteration": on_iteration})
+    trial_dir = train_loop(gcfg, dcfg, tc, schedule, dataset, loop_cfg,
+                           hooks={"on_iteration": on_iteration})
+
+    # run-recipe artifacts (ADVICE r4): the trial config records the
+    # augmentation recipe (None here) and timing.json logs wall clock
+    import json
+    from pgx import checkpoint as ckpt
+    cfg_json = ckpt.load_config(trial_dir)
+    assert "augment" in cfg_json and cfg_json["augment"] is None
+    with open(os.path.join(trial_dir, "timing.json")) as f:
+        timing = json.load(f)
+    assert timing and all(v["elapsed_s"] >= 0 and v["img_s"] > 0
+                          for v in timing.values())
 
     assert [i for i, _, _ in seen] == [0, 1, 2, 3]
     g_losses = [gl for _, gl, _ in seen]
