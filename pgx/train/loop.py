@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
+import json
 import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -175,6 +176,22 @@ def _load_newest_state(trial_dir: str, state):
     return state, start_iter
 
 
+def _augment_recipe(augment_cfg, ada_cfg, augment_p):
+    """JSON form of the run's augmentation settings, saved in the trial
+    config so the full recipe is machine-readable (A/B legs distinguish
+    by artifact, not directory naming) and resume can warn on drift."""
+    if augment_cfg is None:
+        return None
+    rec: Dict[str, Any] = {"pipe": dataclasses.asdict(augment_cfg),
+                           "mode": ("adaptive" if ada_cfg is not None
+                                    else "fixed")}
+    if ada_cfg is not None:
+        rec["ada"] = dataclasses.asdict(ada_cfg)
+    else:
+        rec["p"] = float(augment_p)
+    return rec
+
+
 def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                tc: TrainConfig, schedule, dataset, loop_cfg: LoopConfig,
                resume_dir: Optional[str] = None,
@@ -184,6 +201,7 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     """Run training; returns the trial directory path.  ``augment_cfg`` /
     ``ada_cfg`` enable the on-device ADA pipeline + adaptive-p controller."""
     hooks = hooks or {}
+    aug_recipe = _augment_recipe(augment_cfg, ada_cfg, augment_p)
 
     # Reference semantics: resume reloads the trial's config JSON and trains
     # THAT architecture AND growth schedule (load_saved_config,
@@ -197,15 +215,30 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         from pgx.parallel.distributed import broadcast_obj
         from pgx.train.schedule import schedule_from_dict, schedule_to_dict
         saved = saved_sched = None
+        saved_aug = "missing"
         if jax.process_index() == 0:
             try:
                 cfg_json = ckpt.load_config(resume_dir.rstrip("/"))
                 saved = ckpt.configs_from_dict(cfg_json)
                 saved_sched = cfg_json.get("schedule")
+                saved_aug = cfg_json.get("augment", "missing")
             except (FileNotFoundError, KeyError, TypeError):
                 saved = saved_sched = None
-        saved, saved_sched = broadcast_obj(
-            (saved, saved_sched) if jax.process_index() == 0 else None)
+        saved, saved_sched, saved_aug = broadcast_obj(
+            (saved, saved_sched, saved_aug)
+            if jax.process_index() == 0 else None)
+        # augmentation is NOT auto-restored (it comes from CLI flags, not
+        # the model configs) — but silently continuing an ADA trial
+        # augmentation-free (or vice versa) corrupts the run's recipe, so
+        # drift against the saved recipe warns loudly (ADVICE r4)
+        if saved_aug != "missing" and saved_aug != aug_recipe:
+            import warnings
+            warnings.warn(
+                f"resume: augmentation settings differ from the trial's "
+                f"saved recipe — saved {saved_aug!r}, configured "
+                f"{aug_recipe!r}.  The CONFIGURED settings apply; re-pass "
+                f"the original --ada/--ada-p/--ada-warp flags to continue "
+                f"the recorded recipe", RuntimeWarning)
         if saved is not None and (saved[0] != gcfg or saved[1] != dcfg):
             import warnings
             warnings.warn(
@@ -378,7 +411,11 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         ckpt.save_config(trial_dir, gcfg, dcfg, tc,
                          extra={"batch_size": loop_cfg.batch_size,
                                 "seed": loop_cfg.seed,
-                                "schedule": schedule_to_dict(schedule)},
+                                "schedule": schedule_to_dict(schedule),
+                                # full run recipe incl. augmentation —
+                                # None for augmentation-free runs, so
+                                # drift is detectable either way
+                                "augment": aug_recipe},
                          postfix=postfix)
         if loop_cfg.snapshot_sources:
             from pgx.utils.persistence import snapshot_sources
@@ -457,6 +494,19 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
     gp_count = 0
     cur_batch = loop_cfg.batch_size
     t_log = time.time()
+    # machine-readable wall-clock artifact (ADVICE r4: logs carried no
+    # timestamps, so throughput claims weren't checkable): per log tick,
+    # cumulative seconds since this run started + window img/s.  Appends
+    # across resumes (prior runs' entries are kept; elapsed_s restarts).
+    run_t0 = time.time()
+    timing_path = os.path.join(trial_dir, "timing.json")
+    timing: Dict[str, Any] = {}
+    if is_main and os.path.exists(timing_path):
+        try:
+            with open(timing_path) as f:
+                timing = json.load(f)
+        except (OSError, ValueError):
+            timing = {}
 
     conditional = gcfg.conditioning != "none"
     auto_scan = loop_cfg.steps_per_call == 0
@@ -692,6 +742,15 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
                                 + (f",{vals.get('ada_p', 0):.5f},"
                                    f"{vals.get('ada_r', 0):.5f}"
                                    if log_ada else "") + "\n")
+                    timing[str(it)] = {
+                        "elapsed_s": round(time.time() - run_t0, 2),
+                        "img_s": round(ips, 2),
+                        "resolution": st.resolution}
+                    try:
+                        with open(timing_path, "w") as f:
+                            json.dump(timing, f, indent=1)
+                    except OSError:
+                        pass   # timing is an artifact, never a failure
                 sums, count, gp_count, t_log = {}, 0, 0, time.time()
                 img_count = 0
 
