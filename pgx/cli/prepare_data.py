@@ -29,22 +29,24 @@ def main(argv=None):
 
     fc = sub.add_parser(
         "facecrop",
-        help="square crop centered on a per-image point (face crop)",
+        help="face-detected square crop (detector chain or explicit points)",
         description="Reproduces the face-centered crop of the reference's "
-                    "data/face_detection_tests.py. The crop geometry "
-                    "(cut_based_on_point) is exact; the MTCNN detector that "
-                    "produced the center point is NOT bundled in this image "
-                    "— provide --points-csv (columns: filename,cx,cy, e.g. "
-                    "from any face detector) or --use-mtcnn if "
-                    "facenet-pytorch is installed.")
+                    "data/face_detection_tests.py. By default each image "
+                    "runs through pgx's detector chain "
+                    "(pgx.data.prep.default_face_detector: MTCNN when "
+                    "installed, else the bundled Haar cascade via the "
+                    "numpy Viola-Jones engine); images with no detection "
+                    "are skipped and counted.  --points-csv (columns: "
+                    "filename,cx,cy) overrides with external detector "
+                    "output; --use-mtcnn forces facenet-pytorch.")
     fc.add_argument("--src", required=True)
     fc.add_argument("--dst", required=True)
     fc.add_argument("--points-csv",
                     help="CSV with filename,cx,cy detector output (filename "
                          "is the src-relative path for nested dirs)")
     fc.add_argument("--use-mtcnn", action="store_true",
-                    help="run facenet-pytorch MTCNN (requires the optional "
-                         "dependency; not available in this environment)")
+                    help="force facenet-pytorch MTCNN (optional dependency) "
+                         "instead of the default detector chain")
 
     md = sub.add_parser("metadata", help="build data_info.csv")
     md.add_argument("--root", required=True)
@@ -91,9 +93,14 @@ def main(argv=None):
                         "installed in this environment; run the detector "
                         "elsewhere and pass --points-csv instead")
             detector = MTCNN(select_largest=True)
+        default_det = None
         if not points and detector is None:
-            p.error("facecrop needs --points-csv or --use-mtcnn (the MTCNN "
-                    "detector is not bundled; see --help)")
+            # the always-available chain: MTCNN when installed, else the
+            # vendored Haar cascade through pgx's numpy Viola-Jones engine
+            default_det = prep.default_face_detector()
+            if default_det is None:
+                p.error("facecrop: no detector available and no "
+                        "--points-csv given (see --help)")
         os.makedirs(args.dst, exist_ok=True)
         n = skipped = 0
         for dirpath, _, names in os.walk(args.src):
@@ -117,6 +124,12 @@ def main(argv=None):
                         continue
                     x0, y0, x1, y1 = boxes[0]
                     cx, cy = int((x0 + x1) / 2), int((y0 + y1) / 2)
+                elif default_det is not None:
+                    pt = default_det(img)
+                    if pt is None:
+                        skipped += 1
+                        continue
+                    cx, cy = pt
                 else:
                     skipped += 1
                     continue

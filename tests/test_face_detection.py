@@ -115,6 +115,34 @@ def test_group_rectangles_votes():
     assert abs(x - 10) <= 2 and abs(w - 50) <= 2
 
 
+def test_prepare_data_facecrop_auto_detects(tmp_path, capsys):
+    """pgx.cli.prepare_data facecrop with NO points/mtcnn flags runs the
+    default detector chain: detected faces are cropped around the
+    detection, undetected images are skipped and counted."""
+    from PIL import Image
+
+    from pgx.cli.prepare_data import main
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    img = synth_face(120, 260, 195, 60, 70)
+    Image.fromarray(img).save(src / "face.png")
+    Image.fromarray(np.full((80, 120, 3), 90, np.uint8)).save(
+        src / "blank.png")
+
+    prep.default_face_detector.cache_clear()
+    try:
+        main(["facecrop", "--src", str(src), "--dst", str(dst)])
+    finally:
+        prep.default_face_detector.cache_clear()
+    out = capsys.readouterr().out
+    assert "cropped 1 images (1 skipped" in out
+    crop = np.asarray(Image.open(dst / "face.png"))
+    assert crop.shape == (120, 120, 3)
+    np.testing.assert_array_equal(crop, img[:, 135:255])
+    assert not (dst / "blank.png").exists()
+
+
 def test_template_fallback_detector():
     """The analytic NCC matcher (last chain leg): localizes the synthetic
     face within a couple of pixels and stays silent on blank/noise."""
