@@ -89,6 +89,18 @@ def _pick_tile(total: int, limit: int) -> int:
 _VMEM_BLOCK_BUDGET = 2 * 1024 * 1024
 
 
+def _axis2_needs_transpose(r: int, n: int, bytes_per: int) -> bool:
+    """Route an axis=2 call through the tileable axis=3 kernel (transpose
+    round trip) when the untileable (1, 1, R, N) block would blow scoped
+    VMEM.  The ladder body keeps ~10 block-sized values live (g, rolled,
+    select masks, g1, iota, two validity masks, two products), so the
+    safe block ceiling is ~1/10th of the 16 MB VMEM space — observed live:
+    a 1088x524 f32 block (2.3 MB) compiled to a 21.3 MB scoped-vmem stack
+    and aborted at the 256px ADA stage (batch 16); half the kernel budget
+    (1 MB -> ~10 MB working set) keeps headroom for double buffering."""
+    return r * n * bytes_per > _VMEM_BLOCK_BUDGET // 2
+
+
 def shift_1d_pallas(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
                     interpret: bool = False) -> jnp.ndarray:
     """One fused shear pass on TPU.  See module docstring for the contract."""
@@ -129,7 +141,7 @@ def shift_1d_pallas(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
         # rolls cross the whole R extent, so R can't be tiled; blocks are
         # (1, 1, R, N) per channel.  For extents past the VMEM budget, go
         # through the lane-tiled axis=3 kernel with a transpose round trip.
-        if r * n * bytes_per > 3 * _VMEM_BLOCK_BUDGET:
+        if _axis2_needs_transpose(r, n, bytes_per):
             out = shift_1d_pallas(jnp.swapaxes(img, 2, 3), shift, 3,
                                   interpret=interpret)
             return jnp.swapaxes(out, 2, 3)

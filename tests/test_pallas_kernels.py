@@ -205,6 +205,40 @@ def test_shift_1d_pallas_axis2_fallback_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_axis2_routing_accounts_for_ladder_working_set():
+    """Routing regression for the 256px ADA VMEM abort (observed live,
+    round 5): a 1088x524 f32 axis=2 block is only 2.3 MB, but the ladder
+    keeps ~10 block-sized values live, so Mosaic's scoped-vmem stack hit
+    21.3 MB against the 16 MB space.  Such shapes must take the tileable
+    transpose route; the 128px warp shape (544x270) stays direct."""
+    from pgx.ops.pallas.shear import _axis2_needs_transpose
+
+    assert _axis2_needs_transpose(1088, 524, 4)      # 256px stage, f32
+    assert _axis2_needs_transpose(2176, 1088, 4)     # 512px stage
+    assert not _axis2_needs_transpose(544, 270, 4)   # 128px stage
+    assert not _axis2_needs_transpose(136, 68, 4)    # 32px stage
+
+
+def test_shift_1d_pallas_axis2_256px_shape_matches():
+    """The exact failing extent class end-to-end (interpret mode): axis=2
+    at a 256px-warp-sized minor extent goes through the transpose route
+    and still matches the jnp ladder bit-for-bit within tolerance."""
+    import pgx.ops.pallas.shear as shear
+    from pgx.ops.warp import _shift_1d_jnp
+
+    img = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 272, 131),
+                            jnp.float32)
+    shift = jax.random.normal(jax.random.PRNGKey(12), (1, 131)) * 40.0
+    # 272*131*4 ≈ 0.14 MB: shrink the budget so this shape crosses the
+    # same threshold the real 1088x524 block does at full size
+    import unittest.mock as mock
+    with mock.patch.object(shear, "_VMEM_BLOCK_BUDGET", 64 * 1024):
+        assert shear._axis2_needs_transpose(272, 131, 4)
+        got = shear.shift_1d_pallas(img, shift, 2, interpret=True)
+    want = _shift_1d_jnp(img, shift, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_shift_1d_pallas_vjp_is_negated_shift():
     """The kernel's custom VJP reuses the forward with -shift; it must equal
     autodiff through the jnp ladder."""
