@@ -230,8 +230,12 @@ def train_loop(gcfg: GeneratorConfig, dcfg: DiscriminatorConfig,
         # augmentation is NOT auto-restored (it comes from CLI flags, not
         # the model configs) — but silently continuing an ADA trial
         # augmentation-free (or vice versa) corrupts the run's recipe, so
-        # drift against the saved recipe warns loudly (ADVICE r4)
-        if saved_aug != "missing" and saved_aug != aug_recipe:
+        # drift against the saved recipe warns loudly (ADVICE r4).
+        # Compare through a JSON round trip: the saved side came back from
+        # disk with tuples as lists, and that representation difference is
+        # not drift.
+        aug_json = json.loads(json.dumps(aug_recipe))
+        if saved_aug != "missing" and saved_aug != aug_json:
             import warnings
             warnings.warn(
                 f"resume: augmentation settings differ from the trial's "

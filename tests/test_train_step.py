@@ -1010,6 +1010,46 @@ def test_n_critic_cadence_through_train_loop(tmp_path):
     assert not all(np.array_equal(a, b) for a, b in zip(emas[2], emas[3]))
 
 
+def test_resume_augment_recipe_drift_warning(tmp_path):
+    """The saved augmentation recipe comes back from JSON with tuples as
+    lists; resuming with IDENTICAL settings must not warn (observed false
+    positive: bgc_config's imgfilter_bands tuple vs the loaded list),
+    while genuinely dropping the augmentation must."""
+    import dataclasses
+    import warnings
+
+    from pgx.augment import AdaConfig, bgc_config
+    from pgx.data import synthetic_dataset
+    from pgx.train import LegacySchedule
+    from pgx.train.loop import LoopConfig, train_loop
+
+    gcfg = zoo.mnist_generator(z_dim=8, channel=8)
+    dcfg = zoo.mnist_discriminator(feat_dim=8)
+    tc = TrainConfig()
+    schedule = LegacySchedule(8, 1, 1)
+    dataset = synthetic_dataset(n=32, size=8, channels=1, seed=0)
+    aug, ada = bgc_config(), AdaConfig(ada_length=100)
+    lc = LoopConfig(trial_name="adarec", main_path=str(tmp_path),
+                    batch_size=8, sample_every=100, checkpoint_every=2,
+                    log_every=100, total_iterations=2, verbose=False)
+
+    trial = train_loop(gcfg, dcfg, tc, schedule, dataset, lc,
+                       augment_cfg=aug, ada_cfg=ada)
+
+    # identical recipe -> silent resume
+    lc2 = dataclasses.replace(lc, total_iterations=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        train_loop(gcfg, dcfg, tc, schedule, dataset, lc2,
+                   resume_dir=trial, augment_cfg=aug, ada_cfg=ada)
+
+    # dropping augmentation on resume -> loud drift warning
+    lc3 = dataclasses.replace(lc, total_iterations=6)
+    with pytest.warns(RuntimeWarning, match="augmentation settings"):
+        train_loop(gcfg, dcfg, tc, schedule, dataset, lc3,
+                   resume_dir=trial)
+
+
 def test_fused_g_multi_step_scan_matches_singles():
     """fused_g composes with the scanned dispatch: k scanned fused
     iterations == k single fused dispatches (with ADA + gp_every to cover
