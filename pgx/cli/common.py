@@ -3,32 +3,13 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 from pgx.data import load_cifar10, load_mnist, load_sklearn_digits, \
     synthetic_dataset
 
-# Platform override for every CLI: PGX_PLATFORM=cpu forces the host
-# backend even where a site wrapper pins another platform via an env var
-# JAX ignores post-init (this image pins JAX_PLATFORMS=axon in
-# sitecustomize; forcing CPU must happen through jax.config before first
-# device use — .claude/skills/verify SKILL.md "Environment gotchas").
-# Useful when the remote-compile tunnel is slow/unavailable and for
-# deterministic CPU smokes: PGX_PLATFORM=cpu PGX_HOST_DEVICES=8 python -m
-# pgx.cli.mnist_train ...
-_plat = os.environ.get("PGX_PLATFORM")
-if _plat:
-    _n = os.environ.get("PGX_HOST_DEVICES")
-    if _n and "xla_force_host_platform_device_count" not in os.environ.get(
-            "XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={_n}").strip()
-    import jax
-    try:
-        jax.config.update("jax_platforms", _plat)
-    except Exception:
-        pass   # backend already initialized by the embedding process
+# (The PGX_PLATFORM / PGX_HOST_DEVICES override lives in
+# pgx/cli/__init__.py so EVERY pgx.cli.* entry point — including the
+# eval tools that don't import this module — honors it.)
 
 
 def _steps_per_call(value: str) -> int:
