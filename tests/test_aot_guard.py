@@ -93,6 +93,21 @@ def test_fake_mismatched_entry_purges_cache_subtree(tmp_path):
     assert not cache.exists()
 
 
+def test_pgx_platform_env_forces_backend():
+    """PGX_PLATFORM=cpu (pgx/cli/__init__.py) must force the host backend
+    before first device use, overriding a site-pinned platform env var."""
+    env = dict(os.environ, PGX_PLATFORM="cpu", PGX_HOST_DEVICES="4")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import pgx.cli, jax; "
+         "print(jax.default_backend(), jax.device_count())"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.split() == ["cpu", "4"], proc.stdout
+
+
 def test_benign_only_keeps_cache(tmp_path):
     cache = tmp_path / "fp"
     cache.mkdir()
