@@ -5,14 +5,17 @@ chip peak).
 
 Run bare (``python bench.py``, the driver invocation) it prints one JSON
 line per configuration:
-  1. the production recipe (--gp-every 4 --fused-g --steps-per-call 8,
+  1. FIRST, the reference-exact 128px iteration — the comparable series
+     across rounds (metric ``images_per_sec_per_chip_128px_cond_gd_step``).
+     Emitted first so the headline survives even if a bounded runner cuts
+     the sweep short (each later configuration costs fresh XLA compiles;
+     with a slow remote-compile tunnel the full sweep can take ~30 min),
+  2. the production recipe (--gp-every 4 --fused-g --steps-per-call 8,
      the documented fast path; semantics differ from the reference's exact
      update order, see benchmarks/README.md),
-  2. the per-stage growth curve — reference-exact iteration at every
+  3. the per-stage growth curve — reference-exact iteration at every
      stage of the flagship config (8/16/32/64px) plus the grown 7-stage
-     256px config at batch 16, each with its own MFU/TFLOPs,
-  3. LAST, the reference-exact 128px iteration — the comparable series
-     across rounds, and the line a single-JSON-line consumer picks up.
+     256px config at batch 16, each with its own MFU/TFLOPs.
 With any explicit flag it benches exactly the requested configuration and
 prints one line (``--per-stage`` sweeps the growth curve instead).
 
@@ -307,14 +310,17 @@ def main():
         args.steps_per_call = 1          # scan needs k % gp_every == 0
 
     if default_invocation:
-        # production recipe first, then the per-stage growth curve
-        # (8..64px + grown 256px); the reference-exact 128px line LAST (it
-        # is the round-over-round comparable series, and the line a
-        # one-JSON-line consumer keeps)
+        # headline (reference-exact 128px, the round-over-round comparable
+        # series) FIRST so it survives a bounded runner; then the
+        # production recipe; then the per-stage growth curve
+        _bench_line(args, gp_every=args.gp_every, fused_g=args.fused_g,
+                    ada=args.ada,
+                    extra_fields={"stage": 6, "stage_resolution": 128})
         _bench_line(args, gp_every=4, fused_g=True, ada=False,
                     metric_suffix="_production_gp4")
         _stage_lines(args)
-    elif args.per_stage:
+        return
+    if args.per_stage:
         _stage_lines(args)
         return
     _bench_line(args, gp_every=args.gp_every, fused_g=args.fused_g,
