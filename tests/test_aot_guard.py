@@ -13,6 +13,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 from pgx.utils.aot_guard import AotNoiseFilter, classify_line
 
 # Verbatim shape of the loader's complaint (note the double space in
@@ -106,6 +108,38 @@ def test_pgx_platform_env_forces_backend():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr
     assert proc.stdout.split() == ["cpu", "4"], proc.stdout
+
+
+def test_dryrun_multihost_retries_once(monkeypatch):
+    """The dryrun's multihost leg retries exactly once on a transient
+    rendezvous failure (Gloo's ~30 s key-value budget under load) and
+    still fails hard when both attempts fail."""
+    import __graft_entry__ as entry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Gloo context initialization failed")
+        return "ok"
+
+    monkeypatch.setattr(entry, "_dryrun_gspmd", lambda n: None)
+    monkeypatch.setattr(entry, "_setup_dryrun_platform_and_cache",
+                        lambda n: None)
+    monkeypatch.setattr(entry, "_dryrun_multihost", flaky)
+    entry.dryrun_multichip(8)
+    assert calls["n"] == 2
+
+    def always_fails():
+        calls["n"] += 1
+        raise RuntimeError("real multihost regression")
+
+    monkeypatch.setattr(entry, "_dryrun_multihost", always_fails)
+    calls["n"] = 0
+    with pytest.raises(RuntimeError, match="regression"):
+        entry.dryrun_multichip(8)
+    assert calls["n"] == 2   # one retry, then the failure surfaces
 
 
 def test_benign_only_keeps_cache(tmp_path):
